@@ -1,0 +1,115 @@
+"""Default configuration schema.
+
+Mirrors the reference yacs schema key-for-key (reference:
+core/configs/defaults.py:5-99) so that the shipped recipe YAMLs and the
+``train.py -cfg PATH [KEY VALUE ...]`` CLI surface are drop-in compatible.
+TPU-specific knobs live under the new ``TPU`` section; everything else keeps
+the reference names and default values.
+"""
+
+from .node import CfgNode as CN
+
+_C = CN()
+
+_C.MODEL = CN()
+_C.MODEL.NAME = "deeplabv3plus_resnet101"
+_C.MODEL.NUM_CLASSES = 19
+_C.MODEL.WEIGHTS = "https://download.pytorch.org/models/resnet101-5d3b4d8f.pth"
+_C.MODEL.FREEZE_BN = True
+_C.MODEL.HYPER = True
+_C.MODEL.CURVATURE = 1.0
+_C.MODEL.REDUCED_CHANNELS = 64
+_C.MODEL.HFR = True
+
+_C.WANDB = CN()
+_C.WANDB.ENABLE = False
+_C.WANDB.GROUP = "deeplabv2_r101_pretrain"
+_C.WANDB.PROJECT = "active_domain_adapt"
+_C.WANDB.ENTITY = "pinlab-sapienza"
+
+_C.INPUT = CN()
+_C.INPUT.SOURCE_INPUT_SIZE_TRAIN = (1280, 720)
+_C.INPUT.TARGET_INPUT_SIZE_TRAIN = (1280, 640)
+_C.INPUT.INPUT_SIZE_TEST = (1280, 640)
+_C.INPUT.INPUT_SCALES_TRAIN = (1.0, 1.0)
+_C.INPUT.IGNORE_LABEL = 255
+_C.INPUT.PIXEL_MEAN = [0.485, 0.456, 0.406]
+_C.INPUT.PIXEL_STD = [0.229, 0.224, 0.225]
+# Convert image to BGR format (for Caffe2 models), in range 0-255
+_C.INPUT.TO_BGR255 = False
+
+_C.DATASETS = CN()
+_C.DATASETS.SOURCE_TRAIN = ""
+_C.DATASETS.TARGET_TRAIN = ""
+_C.DATASETS.TEST = ""
+
+_C.SOLVER = CN()
+# Reference semantics: the list of data-parallel devices; per-rank iteration
+# counts scale by len(GPUS) (reference: core/train_learners.py:181). On TPU
+# this is the list of mesh data-axis indices; len(SOLVER.GPUS) = #chips.
+_C.SOLVER.GPUS = [0, 1, 2, 3]
+_C.SOLVER.NUM_ITER = 60000
+
+_C.SOLVER.LR_METHOD = "poly"
+_C.SOLVER.BASE_LR = 1e-3
+_C.SOLVER.LR_POWER = 0.5
+_C.SOLVER.MOMENTUM = 0.9
+_C.SOLVER.WEIGHT_DECAY = 0.0005
+_C.SOLVER.WARMUP_ITERS = 600
+
+_C.SOLVER.BATCH_SIZE = 2
+_C.SOLVER.BATCH_SIZE_VAL = 1
+
+_C.SOLVER.CONSISTENT_LOSS = 0.0
+_C.SOLVER.NEGATIVE_LOSS = 1.0
+_C.SOLVER.NEGATIVE_THRESHOLD = 0.05
+
+_C.SOLVER.LCR_TYPE = "l1"
+
+_C.ACTIVE = CN()
+_C.ACTIVE.UNCERTAINTY = "entropy"
+_C.ACTIVE.PURITY = "hyper"
+_C.ACTIVE.SELECT_ITER = [0, 15000, 30000, 40000, 50000]
+_C.ACTIVE.BUDGET = 0.05
+_C.ACTIVE.RADIUS_K = 1
+_C.ACTIVE.NORMALIZE = True
+_C.ACTIVE.MASK_RADIUS_K = 5
+_C.ACTIVE.K = 100
+_C.ACTIVE.VIZ_MASK = False
+
+_C.TEST = CN()
+_C.TEST.BATCH_SIZE = 1
+_C.TEST.VIZ_SCORE = False
+_C.TEST.VIZ_WRONG = False
+_C.TEST.SAVE_EMBED = False
+
+_C.NAME = "debug"
+_C.OUTPUT_DIR = ""
+_C.resume = ""
+_C.SEED = -1
+_C.DEBUG = False
+_C.PROTOCOL = "source_target"
+
+# ---------------------------------------------------------------------------
+# TPU-native additions (absent from the reference; defaults keep behavior
+# identical to the reference recipes unless explicitly overridden).
+# ---------------------------------------------------------------------------
+_C.TPU = CN()
+# Compute dtype for the backbone/classifier ("bfloat16" or "float32").
+_C.TPU.COMPUTE_DTYPE = "bfloat16"
+# Hyperbolic-head compute dtype. The reference runs the Poincare head in
+# float64 (reference: core/models/classifier.py:553-554); TPUs emulate f64
+# slowly, so the default is float32 with f32 accumulations (validated against
+# an x64 golden path in tests).
+_C.TPU.HYPER_DTYPE = "float32"
+# Mesh axis sizes: data parallelism over ICI. -1 = use all local devices.
+_C.TPU.DATA_PARALLEL = -1
+# Spatial model parallelism for the acquisition scoring map (rarely needed).
+_C.TPU.SPATIAL_PARALLEL = 1
+# Use the fused Pallas scoring kernel (falls back to lax ops when False).
+_C.TPU.PALLAS_SCORING = True
+# Host data-loader worker threads.
+_C.TPU.LOADER_WORKERS = 4
+# Directory with dataset roots (reference hardcodes "datasets"; the catalog
+# also honors the HALO_DATASET_DIR environment variable).
+_C.TPU.DATASET_DIR = "datasets"
