@@ -1,0 +1,182 @@
+"""Region acquisition scoring (impurity x uncertainty), TPU-native.
+
+Re-implements FloatingRegionScore (reference:
+core/active/floating_region.py:26-217): region score = purity x uncertainty
+over (2r+1)^2 sliding windows, where both factors are box-filtered maps.
+
+TPU-first formulation:
+  * maps are channel-last (H, W, C); the box filter is two separable 1-D
+    ``lax.reduce_window`` sums (zero padding, matching the reference's
+    all-ones convs with padding_mode='zeros'), which XLA lowers to fast
+    strided VPU reductions — no im2col, no materialized kernels.
+  * the per-window class histogram for impurity is a box filter over the
+    one-hot prediction; entropy is then elementwise (VPU).
+  * min-max normalization is a global reduction; everything jits into one
+    fused program per (H, W, options) signature.
+
+Uncertainty types (reference :70-92, :158-163): 'entropy', 'pixel_entropy',
+'oracle_acc', 'none' — plus the reference's dead zeros-branch for
+'hyperbolic'/'certainty' (SURVEY.md §7 bug list) reproduced as 'none'.
+Purity types (:165-198): 'ripu', 'oracle_ripu', 'hyper', 'radius',
+'euc_norm', 'none'.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import hyperbolic as hyp
+
+# The reference hardcodes log(19) for entropy normalization even for
+# 16-class SYNTHIA (floating_region.py:74-76,126); a constant factor never
+# changes the argmax-based selection, but we reproduce it for map fidelity.
+_LOG19 = math.log(19.0)
+
+
+def box_filter(x, size: int, axes: Tuple[int, int] = (0, 1)):
+    """(size x size) sliding-window sum with zero padding, separable.
+
+    Matches the reference's all-ones conv (init_conv_layer,
+    floating_region.py:12-19) for odd ``size``.
+    """
+    assert size % 2 == 1, "error size"
+    r = size // 2
+    ndim = x.ndim
+    win = [1] * ndim
+    pad = [(0, 0)] * ndim
+    out = x
+    for ax in axes:
+        w = list(win)
+        w[ax] = size
+        p = list(pad)
+        p[ax] = (r, r)
+        out = jax.lax.reduce_window(
+            out, jnp.zeros((), out.dtype), jax.lax.add,
+            tuple(w), (1,) * ndim, tuple(p))
+    return out
+
+
+def normalize_map(x, eps=0.0):
+    """Global min-max normalization (reference: floating_region.py:22-23)."""
+    lo = jnp.min(x)
+    hi = jnp.max(x)
+    return (x - lo) / (hi - lo + eps)
+
+
+def pixel_entropy(p):
+    """Per-pixel predictive entropy / log(19). p: (H, W, C) softmax."""
+    return jnp.sum(-p * jnp.log(p + 1e-6), axis=-1) / _LOG19
+
+
+def region_uncertainty(p, unc_type: str, size: int,
+                       ground_truth: Optional[jnp.ndarray] = None):
+    """Windowed uncertainty map (H, W) (reference :70-92, :158-163)."""
+    if unc_type == "pixel_entropy":
+        return pixel_entropy(p)
+    if unc_type == "entropy":
+        return box_filter(pixel_entropy(p), size)
+    if unc_type == "oracle_acc":
+        pred = jnp.argmax(p, axis=-1)
+        gt = jnp.where(ground_truth == 255, pred, ground_truth)
+        p_true = jnp.take_along_axis(p, gt[..., None], axis=-1)[..., 0]
+        return box_filter(1.0 - p_true, size)
+    # 'none' plus the reference's dead 'hyperbolic'/'certainty' options,
+    # which fall through to a zeros map (floating_region.py:84-91). The
+    # zeros branch is NOT box-filtered in the reference only for 'none';
+    # for the dead options it is filtered, but a filtered zeros map is
+    # still zeros, so one branch covers all three.
+    h, w = p.shape[0], p.shape[1]
+    return jnp.zeros((h, w), jnp.float32)
+
+
+def region_impurity(predict, num_classes: int, size: int):
+    """Per-window class-histogram entropy / log(K) and window pixel count
+    (reference: compute_region_impurity, floating_region.py:112-121).
+
+    predict: (H, W) int class map.
+    Returns (impurity (H, W), count (H, W)).
+    """
+    one_hot = jax.nn.one_hot(predict, num_classes, dtype=jnp.float32)
+    summary = box_filter(one_hot, size)                    # (H, W, K)
+    count = jnp.sum(summary, axis=-1, keepdims=True)       # (H, W, 1)
+    dist = summary / count
+    imp = jnp.sum(-dist * jnp.log(dist + 1e-6), axis=-1) / math.log(
+        num_classes)
+    return imp, count[..., 0]
+
+
+def quantize_radius_map(embed, K: int, c: float = 1.0):
+    """Quantize the inverted, normalized hyperbolic radius into K bins
+    (reference: quantize_uncert_map, floating_region.py:94-110)."""
+    eps = 1e-5
+    radius = hyp.dist0(embed.astype(jnp.float32), c=c, axis=-1)
+    radius = normalize_map(radius)
+    inv = 1.0 - radius
+    inv = normalize_map(inv)  # no-op after the first normalize, kept for parity
+    q = inv * K - 0.5
+    q = jnp.clip(q, -0.5 + eps, K - 0.5 - eps)
+    return jnp.round(q).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("unc_type", "pur_type", "size",
+                                   "num_classes", "K", "normalize", "c"))
+def floating_region_score(logits,
+                          embed=None,
+                          ground_truth=None,
+                          *,
+                          unc_type: str = "entropy",
+                          pur_type: str = "radius",
+                          size: int = 3,
+                          num_classes: int = 19,
+                          K: int = 100,
+                          normalize: bool = True,
+                          c: float = 1.0):
+    """Full region score for one image (reference: forward, :129-217).
+
+    Args:
+      logits: (H, W, num_classes) raw logits at native resolution.
+      embed: (H, W, C) Poincare embedding (needed for hyper/radius/euc_norm).
+      ground_truth: (H, W) int labels (needed for oracle_* types).
+      size: region window = 2*RADIUS_K + 1.
+    Returns:
+      (score, impurity, uncertainty), each (H, W) float32.
+    """
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    unc = region_uncertainty(p, unc_type, size, ground_truth)
+
+    if pur_type == "ripu":
+        predict = jnp.argmax(p, axis=-1)
+        imp, count = region_impurity(predict, num_classes, size)
+    elif pur_type == "oracle_ripu":
+        predict = jnp.where(ground_truth == 255,
+                            jnp.argmax(p, axis=-1), ground_truth)
+        imp, count = region_impurity(predict, num_classes, size)
+    elif pur_type == "hyper":
+        predict = quantize_radius_map(embed, K, c)
+        imp, count = region_impurity(predict, K, 3)
+    elif pur_type == "radius":
+        imp = hyp.dist0(embed.astype(jnp.float32), c=c, axis=-1)
+        count = jnp.ones_like(imp)
+    elif pur_type == "euc_norm":
+        imp = jnp.linalg.norm(embed.astype(jnp.float32), axis=-1)
+        count = jnp.ones_like(imp)
+    elif pur_type == "none":
+        imp = jnp.zeros(p.shape[:2], jnp.float32)
+        count = jnp.ones(p.shape[:2], jnp.float32)
+    else:
+        raise NotImplementedError(
+            f"Error: purity type '{pur_type}' not implemented")
+
+    unc = unc / count
+
+    if normalize:
+        unc = normalize_map(unc)
+        imp = normalize_map(imp)
+
+    return imp * unc, imp, unc

@@ -1,0 +1,157 @@
+"""Greedy region selection, compiled to a single on-device loop.
+
+Re-implements select_pixels_to_label (reference: core/active/build.py:27-64):
+repeatedly take the score argmax, label the (2r+1)^2 region from ground
+truth, and suppress a (2m+1)^2 neighborhood to -inf, for
+ceil(H*W*budget/(2r+1)^2) picks.
+
+The reference runs this as ~2.3k serial host-device round trips per image
+(SURVEY.md §3C hot loop #3). Here the whole loop is one ``lax.fori_loop``
+with an incremental column-max cache:
+
+  * state keeps per-column (max, argmax-row); a pick costs O(W) for the
+    global argmax + O(H * (2m+1)) to re-reduce only the suppressed columns,
+    instead of O(H*W) for a full-map argmax — ~150x less work per pick at
+    1024x2048.
+  * mask/label writes are deferred: the loop records pick coordinates, and a
+    second loop applies (2r+1)/(2m+1)-sized ``dynamic_update_slice`` writes
+    on zero-padded canvases, so no O(H*W) op appears inside either loop.
+  * tie-breaking matches torch.max exactly: the reference picks the first
+    column attaining the global max, then the first row within that column
+    (build.py:38-43) — i.e. column-major first occurrence, reproduced by
+    argmax over the column-max vector then argmax within the column.
+
+Everything is static-shaped and jit-compiled once per (H, W, radii, picks)
+signature.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+class SelectionResult(NamedTuple):
+    score: jnp.ndarray        # (H, W) suppressed score map
+    active: jnp.ndarray       # (H, W) bool: suppression/active indicator
+    selected: jnp.ndarray     # (H, W) bool: labeled-region indicator
+    active_mask: jnp.ndarray  # (H, W) labels: GT in selected regions
+    picks: jnp.ndarray        # (N, 2) int32 (h, w); -1 rows = unused budget
+    num_picked: jnp.ndarray   # () int32
+
+
+@partial(jax.jit, static_argnames=("num_picks", "active_radius",
+                                   "mask_radius"))
+def select_pixels_to_label(score,
+                           active_mask,
+                           ground_truth,
+                           active,
+                           selected,
+                           *,
+                           num_picks: int,
+                           active_radius: int,
+                           mask_radius: int) -> SelectionResult:
+    """Greedy budget selection on one (H, W) score map.
+
+    Args:
+      score: (H, W) float map; already-active pixels should be -inf
+        (the caller applies ``score[active] = -inf``, build.py:146).
+      active_mask: (H, W) int labels (255-filled before the first round).
+      ground_truth: (H, W) int GT labels.
+      active, selected: (H, W) bool indicators carried across rounds.
+      num_picks: region budget for this image (static).
+      active_radius / mask_radius: r and m above (static).
+    """
+    h_dim, w_dim = score.shape
+    m = mask_radius
+    r = active_radius
+    mw = 2 * m + 1
+    rw = 2 * r + 1
+
+    score = jnp.where(active, NEG_INF, score.astype(jnp.float32))
+
+    # Column cache + W-padded score so every suppression is a full-width
+    # dynamic slice (edge clamping reproduced by the -inf pad).
+    score_p = jnp.pad(score, ((0, 0), (m, m)), constant_values=NEG_INF)
+    colmax = jnp.max(score, axis=0)          # (W,)
+    colrow = jnp.argmax(score, axis=0)       # (W,) first-occurrence rows
+    colmax_p = jnp.pad(colmax, (m, m), constant_values=NEG_INF)
+    colrow_p = jnp.pad(colrow, (m, m), constant_values=0)
+
+    rows = jnp.arange(h_dim, dtype=jnp.int32)
+
+    def body(i, state):
+        score_p, colmax_p, colrow_p, picks, n = state
+        w = jnp.argmax(colmax_p[m:m + w_dim]).astype(jnp.int32)
+        maxval = colmax_p[w + m]
+        hh = colrow_p[w + m].astype(jnp.int32)
+        valid = maxval != NEG_INF
+
+        # Suppress rows |row-h|<=m in the (H, 2m+1) column block at w-m.
+        zero = jnp.int32(0)
+        block = jax.lax.dynamic_slice(score_p, (zero, w), (h_dim, mw))
+        row_hit = jnp.abs(rows - hh) <= m
+        block = jnp.where(valid & row_hit[:, None], NEG_INF, block)
+        score_p = jax.lax.dynamic_update_slice(score_p, block, (zero, w))
+
+        # Refresh the column cache for just those columns.
+        bmax = jnp.max(block, axis=0)
+        brow = jnp.argmax(block, axis=0).astype(colrow_p.dtype)
+        colmax_p = jax.lax.dynamic_update_slice(colmax_p, bmax, (w,))
+        colrow_p = jax.lax.dynamic_update_slice(colrow_p, brow, (w,))
+
+        pick = jnp.where(valid, jnp.array([hh, w], jnp.int32),
+                         jnp.array([-1, -1], jnp.int32))
+        picks = jax.lax.dynamic_update_slice(
+            picks, pick[None], (jnp.asarray(i, jnp.int32), jnp.int32(0)))
+        return score_p, colmax_p, colrow_p, picks, n + valid.astype(jnp.int32)
+
+    picks0 = jnp.full((num_picks, 2), -1, jnp.int32)
+    score_p, colmax_p, colrow_p, picks, num_picked = jax.lax.fori_loop(
+        0, num_picks, body, (score_p, colmax_p, colrow_p, picks0,
+                             jnp.int32(0)))
+
+    # ------------------------------------------------------------------
+    # Replay picks onto padded canvases with small block writes.
+    # ------------------------------------------------------------------
+    dtype_mask = active_mask.dtype
+    gt_rp = jnp.pad(ground_truth, ((r, r), (r, r)))
+    am_rp = jnp.pad(active_mask, ((r, r), (r, r)))
+    sel_rp = jnp.pad(selected, ((r, r), (r, r)))
+    act_mp = jnp.pad(active, ((m, m), (m, m)))
+    ones_r = jnp.ones((rw, rw), bool)
+    ones_m = jnp.ones((mw, mw), bool)
+
+    def apply(i, state):
+        am_rp, sel_rp, act_mp = state
+        hh, w = picks[i, 0], picks[i, 1]
+        valid = hh >= 0
+        hs = jnp.where(valid, hh, 0)
+        ws = jnp.where(valid, w, 0)
+        # active_mask[h-r:h+r+1, w-r:w+r+1] = GT block; selected |= block.
+        gt_block = jax.lax.dynamic_slice(gt_rp, (hs, ws), (rw, rw))
+        am_block = jax.lax.dynamic_slice(am_rp, (hs, ws), (rw, rw))
+        am_rp = jax.lax.dynamic_update_slice(
+            am_rp, jnp.where(valid, gt_block, am_block), (hs, ws))
+        sel_block = jax.lax.dynamic_slice(sel_rp, (hs, ws), (rw, rw))
+        sel_rp = jax.lax.dynamic_update_slice(
+            sel_rp, sel_block | (valid & ones_r), (hs, ws))
+        act_block = jax.lax.dynamic_slice(act_mp, (hs, ws), (mw, mw))
+        act_mp = jax.lax.dynamic_update_slice(
+            act_mp, act_block | (valid & ones_m), (hs, ws))
+        return am_rp, sel_rp, act_mp
+
+    am_rp, sel_rp, act_mp = jax.lax.fori_loop(
+        0, num_picks, apply, (am_rp, sel_rp, act_mp))
+
+    active_mask = am_rp[r:r + h_dim, r:r + w_dim].astype(dtype_mask)
+    selected_out = sel_rp[r:r + h_dim, r:r + w_dim]
+    active_out = act_mp[m:m + h_dim, m:m + w_dim]
+    score_out = score_p[:, m:m + w_dim]
+    return SelectionResult(score_out, active_out, selected_out, active_mask,
+                           picks, num_picked)

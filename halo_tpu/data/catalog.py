@@ -1,0 +1,90 @@
+"""Dataset catalog: name -> dataset registry + active-mask initialization.
+
+Mirrors DatasetCatalog (reference: core/datasets/dataset_path_catalog.py:15-121)
+with the same registry names and directory layout. The dataset root comes
+from cfg.TPU.DATASET_DIR or the HALO_DATASET_DIR environment variable
+(the reference hardcodes "datasets", :16).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+from .datasets import CityscapesDataSet, GTAVDataSet, SynthiaDataSet
+
+
+class DatasetCatalog:
+    DATASET_DIR = "datasets"
+    DATASETS = {
+        "gtav_train": {"data_dir": "gtav", "data_list": "gtav_train_list.txt"},
+        "synthia_train": {"data_dir": "synthia",
+                          "data_list": "synthia_train_list.txt"},
+        "cityscapes_train": {"data_dir": "cityscapes",
+                             "data_list": "cityscapes_train_list.txt"},
+        "cityscapes_val": {"data_dir": "cityscapes",
+                           "data_list": "cityscapes_val_list.txt"},
+    }
+
+    @staticmethod
+    def dataset_dir(cfg=None) -> str:
+        env = os.environ.get("HALO_DATASET_DIR")
+        if env:
+            return env
+        if cfg is not None and hasattr(cfg, "TPU"):
+            return cfg.TPU.DATASET_DIR
+        return DatasetCatalog.DATASET_DIR
+
+    @staticmethod
+    def get(name, mode, num_classes, max_iters=None, transform=None,
+            cfg=None, empty=False, seed=0):
+        data_dir = DatasetCatalog.dataset_dir(cfg)
+        attrs = DatasetCatalog.DATASETS[name] if name in \
+            DatasetCatalog.DATASETS else None
+        if attrs is None:
+            raise RuntimeError(f"Dataset not available: {name}")
+        root = os.path.join(data_dir, attrs["data_dir"])
+        data_list = os.path.join(data_dir, attrs["data_list"])
+        if "gtav" in name:
+            return GTAVDataSet(root, data_list, max_iters=max_iters,
+                               num_classes=num_classes, split=mode,
+                               transform=transform, seed=seed)
+        if "synthia" in name:
+            return SynthiaDataSet(root, data_list, max_iters=max_iters,
+                                  num_classes=num_classes, split=mode,
+                                  transform=transform, seed=seed)
+        if "cityscapes" in name:
+            return CityscapesDataSet(
+                root, data_list, save_dir=cfg.SAVE_DIR, max_iters=max_iters,
+                num_classes=num_classes, split=mode, transform=transform,
+                empty=empty)
+        raise RuntimeError(f"Dataset not available: {name}")
+
+    @staticmethod
+    def init_mask(cfg, workers: int = 16):
+        """Write 255-filled mask PNGs + scalar indicators for every target
+        train image (reference: initMask, dataset_path_catalog.py:69-121;
+        joblib parallelism replaced with a thread pool — PIL encode/IO
+        release the GIL)."""
+        from .masks import init_image_mask
+
+        data_dir = DatasetCatalog.dataset_dir(cfg)
+        attrs = DatasetCatalog.DATASETS["cityscapes_train"]
+        root = os.path.join(data_dir, attrs["data_dir"])
+        with open(os.path.join(data_dir, attrs["data_list"])) as handle:
+            names = [line.strip() for line in handle if line.strip()]
+
+        def one(name):
+            stem = name.split("_leftImg8bit")[0]
+            init_image_mask(
+                os.path.join(root, f"leftImg8bit/train/{name}"),
+                os.path.join(cfg.SAVE_DIR,
+                             f"gtMask/train/{stem}_gtFine_labelIds.png"),
+                os.path.join(cfg.SAVE_DIR,
+                             f"gtIndicator/train/{stem}_indicator.pth"))
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(one, names))
+
+    # reference-compatible alias (dataset_path_catalog.py:69)
+    initMask = init_mask

@@ -1,0 +1,209 @@
+"""Shared NN building blocks for the TPU model zoo.
+
+Re-implements the normalization/init semantics the reference relies on
+(reference: core/models/layers.py:5-23 for FrozenBatchNorm2d; torch default
+inits for conv/linear layers) in Flax, channel-last (NHWC) — the layout XLA
+tiles best onto the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# ---------------------------------------------------------------------------
+# Initializers matching torch semantics
+# ---------------------------------------------------------------------------
+
+# torch.nn.init.kaiming_normal_(mode='fan_out', nonlinearity='relu') — the
+# backbone conv init (reference: core/models/resnet.py:153-154).
+kaiming_normal_fan_out = nn.initializers.variance_scaling(
+    2.0, "fan_out", "normal")
+
+# torch.nn.init.kaiming_normal_() defaults (fan_in, relu gain) — the head
+# conv init (reference: core/models/classifier.py:318-327).
+kaiming_normal_fan_in = nn.initializers.variance_scaling(
+    2.0, "fan_in", "normal")
+
+
+def normal_init(stddev: float):
+    return nn.initializers.normal(stddev=stddev)
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """torch.nn.Linear default: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)).
+
+    Flax Dense kernels are (in, out) so fan_in = shape[0].
+    """
+    bound = 1.0 / math.sqrt(shape[0])
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def torch_linear_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+def torch_conv_bias_init(kernel_size: Sequence[int], in_channels: int):
+    """torch.nn.Conv2d default bias init: U(±1/sqrt(fan_in))."""
+    fan_in = in_channels * math.prod(int(k) for k in kernel_size)
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+# ---------------------------------------------------------------------------
+# Normalization layers
+# ---------------------------------------------------------------------------
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with statistics and affine params frozen as buffers.
+
+    Equivalent to the reference's FrozenBatchNorm2d
+    (core/models/layers.py:5-23): y = (x - mean) * rsqrt(var + eps) * w + b
+    with all four tensors constant. Parameters live in the ``frozen``
+    collection so they are invisible to the optimizer, and the whole layer
+    folds into a per-channel scale+bias that XLA fuses into the preceding
+    conv.
+    """
+
+    features: int
+    eps: float = 1e-5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.variable(
+            "frozen", "weight", nn.initializers.ones, None,
+            (self.features,), jnp.float32).value
+        bias = self.variable(
+            "frozen", "bias", nn.initializers.zeros, None,
+            (self.features,), jnp.float32).value
+        mean = self.variable(
+            "frozen", "running_mean", nn.initializers.zeros, None,
+            (self.features,), jnp.float32).value
+        var = self.variable(
+            "frozen", "running_var", nn.initializers.ones, None,
+            (self.features,), jnp.float32).value
+        scale = weight * jax.lax.rsqrt(var + self.eps)
+        shift = bias - mean * scale
+        dtype = self.dtype or x.dtype
+        return x * scale.astype(dtype) + shift.astype(dtype)
+
+
+class BatchNorm(nn.Module):
+    """Train-time BatchNorm with torch semantics (momentum 0.1, eps 1e-5).
+
+    Under jit+GSPMD with the batch axis sharded over the mesh, XLA computes
+    the reduction over the *global* batch — i.e. sync-BN (the reference's
+    Lightning ``sync_batchnorm=True``, train.py:129) falls out of SPMD for
+    free. ``axis_name`` is additionally honored for shard_map/pmap callers.
+    """
+
+    features: int
+    use_running_average: bool = False
+    eps: float = 1e-5
+    momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+    dtype: Any = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = (self.use_running_average if use_running_average is None
+               else use_running_average)
+        norm = nn.BatchNorm(
+            use_running_average=ura,
+            momentum=1.0 - self.momentum,
+            epsilon=self.eps,
+            dtype=self.dtype,
+            axis_name=self.axis_name,
+            name="bn")
+        return norm(x)
+
+
+def make_norm(freeze_bn: bool, features: int, dtype=None, name=None,
+              train: bool = True, axis_name: Optional[str] = None):
+    """Norm-layer factory mirroring build_classifier's bn_layer switch
+    (reference: core/models/build.py:36-39)."""
+    if freeze_bn:
+        return FrozenBatchNorm(features, dtype=dtype, name=name)
+    return BatchNorm(features, use_running_average=not train, dtype=dtype,
+                     axis_name=axis_name, name=name)
+
+
+# ---------------------------------------------------------------------------
+# Conv blocks
+# ---------------------------------------------------------------------------
+
+
+class ConvBNReLU(nn.Module):
+    """Conv → norm → ReLU with torch-style explicit padding."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    dilation: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    use_bias: bool = False
+    freeze_bn: bool = False
+    train: bool = True
+    relu: bool = True
+    dtype: Any = None
+    kernel_init: Callable = kaiming_normal_fan_in
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features, self.kernel_size, strides=self.strides,
+            padding=self.padding, kernel_dilation=self.dilation,
+            feature_group_count=self.groups, use_bias=self.use_bias,
+            dtype=self.dtype, kernel_init=self.kernel_init, name="conv")(x)
+        x = make_norm(self.freeze_bn, self.features, dtype=self.dtype,
+                      train=self.train, name="norm")(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class DepthwiseSeparableConv(nn.Module):
+    """Depthwise 3x3 (+BN+ReLU) then pointwise 1x1 (+BN+ReLU).
+
+    Mirrors DepthwiseSeparableConv2d (reference:
+    core/models/classifier.py:40-85) with NHWC layout; the depthwise conv
+    maps to the VPU, the pointwise 1x1 is a channel GEMM on the MXU.
+    """
+
+    in_features: int
+    out_features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = ((1, 1), (1, 1))
+    dilation: Tuple[int, int] = (1, 1)
+    freeze_bn: bool = False
+    train: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvBNReLU(
+            self.in_features, self.kernel_size, self.strides, self.padding,
+            self.dilation, groups=self.in_features, freeze_bn=self.freeze_bn,
+            train=self.train, dtype=self.dtype, name="depthwise")(x)
+        x = ConvBNReLU(
+            self.out_features, (1, 1), (1, 1), "VALID",
+            freeze_bn=self.freeze_bn, train=self.train, dtype=self.dtype,
+            name="pointwise")(x)
+        return x

@@ -1,0 +1,172 @@
+"""Dilated ResNet backbones in Flax (NHWC, TPU-first).
+
+Functional re-implementation of the torchvision-style backbone the reference
+uses (reference: core/models/resnet.py:72-294, core/models/feature_extractor.py:7-24):
+Bottleneck ResNet with ``replace_stride_with_dilation=[False, True, True]``
+(output stride 8) returning a feature pyramid dict
+``{'low': layer1 (256ch, stride 4), 'out': layer4 (2048ch, stride 8)}``.
+
+TPU notes:
+  * NHWC layout end-to-end; XLA maps the convs onto the MXU directly.
+  * FrozenBatchNorm folds into per-channel scale+bias fused with the convs.
+  * All shapes are static; the module is pure and jit/pjit-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+from flax import linen as nn
+
+from .layers import FrozenBatchNorm, kaiming_normal_fan_out, make_norm
+
+
+class Bottleneck(nn.Module):
+    """1x1 reduce → 3x3 (stride/dilation) → 1x1 expand, residual add.
+
+    Matches torchvision Bottleneck (reference: core/models/resnet.py:72-112);
+    expansion 4, stride on the 3x3 conv.
+    """
+
+    planes: int
+    strides: int = 1
+    dilation: int = 1
+    groups: int = 1
+    base_width: int = 64
+    has_downsample: bool = False
+    freeze_bn: bool = False
+    train: bool = True
+    dtype: Any = None
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x):
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        out_ch = self.planes * self.expansion
+        identity = x
+
+        y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
+                    kernel_init=kaiming_normal_fan_out, name="conv1")(x)
+        y = make_norm(self.freeze_bn, width, dtype=self.dtype,
+                      train=self.train, name="bn1")(y)
+        y = nn.relu(y)
+
+        d = self.dilation
+        y = nn.Conv(width, (3, 3), strides=(self.strides, self.strides),
+                    padding=((d, d), (d, d)), kernel_dilation=(d, d),
+                    feature_group_count=self.groups, use_bias=False,
+                    dtype=self.dtype, kernel_init=kaiming_normal_fan_out,
+                    name="conv2")(y)
+        y = make_norm(self.freeze_bn, width, dtype=self.dtype,
+                      train=self.train, name="bn2")(y)
+        y = nn.relu(y)
+
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    kernel_init=kaiming_normal_fan_out, name="conv3")(y)
+        y = make_norm(self.freeze_bn, out_ch, dtype=self.dtype,
+                      train=self.train, name="bn3")(y)
+
+        if self.has_downsample:
+            identity = nn.Conv(
+                out_ch, (1, 1), strides=(self.strides, self.strides),
+                use_bias=False, dtype=self.dtype,
+                kernel_init=kaiming_normal_fan_out, name="downsample_conv")(x)
+            identity = make_norm(
+                self.freeze_bn, out_ch, dtype=self.dtype, train=self.train,
+                name="downsample_bn")(identity)
+
+        return nn.relu(y + identity)
+
+
+class ResNetFeatures(nn.Module):
+    """ResNet trunk returning the {'low', 'out'} pyramid.
+
+    ``replace_stride_with_dilation`` follows torchvision `_make_layer`
+    bookkeeping exactly (reference: core/models/resnet.py:168-191): when a
+    stage dilates, its first block keeps the *previous* dilation with stride
+    1, and subsequent blocks use the multiplied dilation.
+    """
+
+    stage_sizes: Sequence[int] = (3, 4, 23, 3)  # resnet101
+    replace_stride_with_dilation: Sequence[bool] = (False, True, True)
+    groups: int = 1
+    base_width: int = 64
+    freeze_bn: bool = False
+    dtype: Any = None
+    return_aux: bool = False  # also tap layer3 (reference feature_extractor.py:18-19)
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype,
+                    kernel_init=kaiming_normal_fan_out, name="conv1")(x)
+        x = make_norm(self.freeze_bn, 64, dtype=self.dtype, train=train,
+                      name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats = {}
+        inplanes = 64
+        dilation = 1
+        planes_per_stage = (64, 128, 256, 512)
+        for stage, (planes, blocks) in enumerate(
+                zip(planes_per_stage, self.stage_sizes)):
+            stride = 1 if stage == 0 else 2
+            dilate = (stage > 0 and
+                      self.replace_stride_with_dilation[stage - 1])
+            previous_dilation = dilation
+            if dilate:
+                dilation *= stride
+                stride = 1
+            for b in range(blocks):
+                first = b == 0
+                x = Bottleneck(
+                    planes=planes,
+                    strides=stride if first else 1,
+                    dilation=previous_dilation if first else dilation,
+                    groups=self.groups,
+                    base_width=self.base_width,
+                    has_downsample=first and (
+                        stride != 1 or
+                        inplanes != planes * Bottleneck.expansion),
+                    freeze_bn=self.freeze_bn,
+                    train=train,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{b}")(x)
+                if first:
+                    inplanes = planes * Bottleneck.expansion
+            if stage == 0:
+                feats["low"] = x
+            if stage == 2 and self.return_aux:
+                feats["aux"] = x
+        feats["out"] = x
+        return feats
+
+
+_ARCHS = {
+    # name: (stage_sizes, groups, width_per_group)
+    "resnet50": ((3, 4, 6, 3), 1, 64),
+    "resnet101": ((3, 4, 23, 3), 1, 64),
+    "resnet152": ((3, 8, 36, 3), 1, 64),
+    "resnext50_32x4d": ((3, 4, 6, 3), 32, 4),
+    "resnext101_32x8d": ((3, 4, 23, 3), 32, 8),
+}
+
+
+def resnet_feature_extractor(backbone_name: str,
+                             freeze_bn: bool = False,
+                             dtype: Any = None,
+                             aux: bool = False) -> ResNetFeatures:
+    """Factory mirroring resnet_feature_extractor
+    (reference: core/models/feature_extractor.py:7-24). Pretrained-weight
+    loading is a separate, explicit step (models/port_torch.py) rather than
+    an __init__ side effect."""
+    if backbone_name not in _ARCHS:
+        raise NotImplementedError(
+            f"Unsupported backbone: {backbone_name}.")
+    sizes, groups, width = _ARCHS[backbone_name]
+    return ResNetFeatures(
+        stage_sizes=sizes, groups=groups, base_width=width,
+        replace_stride_with_dilation=(False, True, True),
+        freeze_bn=freeze_bn, dtype=dtype, return_aux=aux)

@@ -1,0 +1,1 @@
+from .metrics import (intersection_and_union, miou_from_histograms, miou_star)

@@ -1,0 +1,62 @@
+"""Segmentation metrics: histogram I/U and mIoU aggregation.
+
+Re-implements the reference metric path (core/utils/misc.py:20-47 and the
+learner copy core/train_learners.py:94-106; aggregation :141-150) as pure
+jittable JAX: per-class intersection/union/target histograms via bincount,
+reduced across a device mesh with one psum (replacing the reference's
+all_gather-then-sum, core/train_learners.py:130-165).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def intersection_and_union(pred, target, num_classes, ignore_index=255):
+    """Per-class (intersection, union, target) pixel counts.
+
+    Args:
+      pred: (...,) int predicted labels.
+      target: (...,) int GT labels; ignore_index pixels are dropped
+        (the reference maps pred to ignore at those pixels, misc.py:28-30).
+    Returns:
+      three (num_classes,) float32 vectors.
+    """
+    pred = pred.reshape(-1)
+    target = target.reshape(-1)
+    valid = target != ignore_index
+    pred = jnp.where(valid, pred, num_classes)  # funnel ignored into bin K
+    target = jnp.where(valid, target, num_classes)
+    match = pred == target
+    inter = jnp.bincount(jnp.where(match, pred, num_classes),
+                         length=num_classes + 1)[:num_classes]
+    area_pred = jnp.bincount(pred, length=num_classes + 1)[:num_classes]
+    area_target = jnp.bincount(target, length=num_classes + 1)[:num_classes]
+    union = area_pred + area_target - inter
+    return (inter.astype(jnp.float32), union.astype(jnp.float32),
+            area_target.astype(jnp.float32))
+
+
+def miou_from_histograms(intersections, unions, targets, eps=1e-10):
+    """(mIoU, mAcc, aAcc, per-class IoU, per-class Acc) from summed
+    histograms (reference: core/train_learners.py:141-150)."""
+    intersections = jnp.asarray(intersections, jnp.float32)
+    unions = jnp.asarray(unions, jnp.float32)
+    targets = jnp.asarray(targets, jnp.float32)
+    iou_class = intersections / (unions + eps)
+    acc_class = intersections / (targets + eps)
+    miou = jnp.mean(iou_class)
+    macc = jnp.mean(acc_class)
+    aacc = jnp.sum(intersections) / (jnp.sum(targets) + eps)
+    return miou, macc, aacc, iou_class, acc_class
+
+
+def miou_star(iou_class, excluded=(3, 4, 5)):
+    """SYNTHIA mIoU* over 13 classes: drop wall/fence/pole
+    (reference: core/train_learners.py:683-690)."""
+    keep = np.setdiff1d(np.arange(len(iou_class)), np.asarray(excluded))
+    return jnp.mean(jnp.asarray(iou_class)[keep])

@@ -1,0 +1,199 @@
+"""Acquisition tests: box-filter/impurity/score goldens + greedy selection
+equivalence against a literal (slow) numpy re-derivation of the reference
+semantics (core/active/floating_region.py, core/active/build.py:27-64)."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from halo_tpu.active.scoring import (box_filter, floating_region_score,
+                                     normalize_map, region_impurity,
+                                     quantize_radius_map)
+from halo_tpu.active.selection import select_pixels_to_label
+from halo_tpu.ops import hyperbolic as hyp
+
+
+# ---------------------------------------------------------------------------
+# numpy goldens
+# ---------------------------------------------------------------------------
+
+def np_box_filter(x, size):
+    """Zero-padded all-ones conv over the two leading axes."""
+    r = size // 2
+    H, W = x.shape[:2]
+    xp = np.zeros((H + 2 * r, W + 2 * r) + x.shape[2:], x.dtype)
+    xp[r:r + H, r:r + W] = x
+    out = np.zeros_like(x, dtype=np.float64)
+    for dy in range(size):
+        for dx in range(size):
+            out += xp[dy:dy + H, dx:dx + W]
+    return out
+
+
+def np_softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def np_select(score, n, r, m, active, selected, active_mask, gt):
+    """Literal torch-semantics greedy loop (reference build.py:27-64)."""
+    score = score.copy()
+    active = active.copy()
+    selected = selected.copy()
+    active_mask = active_mask.copy()
+    for _ in range(n):
+        values = score.max(axis=0)          # per-column max
+        w = int(values.argmax())            # first max column
+        if values[w] == -np.inf:
+            break
+        h = int(score[:, w].argmax())       # first max row in that column
+        score[max(h - m, 0):h + m + 1, max(w - m, 0):w + m + 1] = -np.inf
+        active[max(h - m, 0):h + m + 1, max(w - m, 0):w + m + 1] = True
+        selected[max(h - r, 0):h + r + 1, max(w - r, 0):w + r + 1] = True
+        active_mask[max(h - r, 0):h + r + 1, max(w - r, 0):w + r + 1] = \
+            gt[max(h - r, 0):h + r + 1, max(w - r, 0):w + r + 1]
+    return score, active, selected, active_mask
+
+
+# ---------------------------------------------------------------------------
+# scoring
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("size", [3, 5, 33])
+def test_box_filter_matches_numpy(size):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(40, 56)).astype(np.float32)
+    got = np.asarray(box_filter(jnp.asarray(x), size))
+    np.testing.assert_allclose(got, np_box_filter(x, size), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_region_impurity_golden():
+    rng = np.random.default_rng(1)
+    predict = rng.integers(0, 19, size=(24, 32))
+    imp, count = region_impurity(jnp.asarray(predict), 19, 3)
+    onehot = np.eye(19)[predict]
+    summary = np_box_filter(onehot, 3)
+    cnt = summary.sum(-1)
+    dist = summary / cnt[..., None]
+    want = (-dist * np.log(dist + 1e-6)).sum(-1) / math.log(19)
+    np.testing.assert_allclose(np.asarray(imp), want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(count), cnt, rtol=1e-5)
+    # interior windows see 9 pixels, corners 4
+    assert np.asarray(count)[0, 0] == 4 and np.asarray(count)[5, 5] == 9
+
+
+def test_entropy_ripu_score_golden():
+    rng = np.random.default_rng(2)
+    logits = rng.normal(size=(16, 20, 19)).astype(np.float32) * 2
+    score, imp, unc = floating_region_score(
+        jnp.asarray(logits), unc_type="entropy", pur_type="ripu",
+        size=3, num_classes=19, normalize=False)
+    p = np_softmax(logits.astype(np.float64))
+    pe = (-p * np.log(p + 1e-6)).sum(-1) / math.log(19)
+    went = np_box_filter(pe, 3)
+    onehot = np.eye(19)[p.argmax(-1)]
+    summary = np_box_filter(onehot, 3)
+    cnt = summary.sum(-1)
+    dist = summary / cnt[..., None]
+    wimp = (-dist * np.log(dist + 1e-6)).sum(-1) / math.log(19)
+    wunc = went / cnt
+    np.testing.assert_allclose(np.asarray(unc), wunc, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(imp), wimp, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(score), wimp * wunc, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_radius_purity_uses_dist0_and_normalize():
+    rng = np.random.default_rng(3)
+    u = rng.normal(size=(8, 10, 16)).astype(np.float32) * 0.3
+    embed = np.asarray(hyp.expmap(jnp.asarray(u)))
+    logits = rng.normal(size=(8, 10, 19)).astype(np.float32)
+    score, imp, unc = floating_region_score(
+        jnp.asarray(logits), jnp.asarray(embed),
+        unc_type="entropy", pur_type="radius", size=3, normalize=True)
+    radius = np.asarray(hyp.dist0(jnp.asarray(embed)))
+    rn = (radius - radius.min()) / (radius.max() - radius.min())
+    np.testing.assert_allclose(np.asarray(imp), rn, rtol=1e-4, atol=1e-5)
+    # normalized maps are in [0, 1]
+    assert 0 <= float(np.asarray(unc).min()) and float(
+        np.asarray(unc).max()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_hyper_purity_quantization():
+    rng = np.random.default_rng(4)
+    u = rng.normal(size=(12, 12, 8)).astype(np.float32)
+    embed = np.asarray(hyp.expmap(jnp.asarray(u)))
+    q = np.asarray(quantize_radius_map(jnp.asarray(embed), K=100))
+    assert q.min() >= 0 and q.max() <= 99
+    # highest radius maps to bin 0 (inverted), lowest to ~K-1
+    radius = np.asarray(hyp.dist0(jnp.asarray(embed)))
+    assert q[np.unravel_index(radius.argmax(), q.shape)] == 0
+    assert q[np.unravel_index(radius.argmin(), q.shape)] >= 98
+
+
+def test_none_types_zero_score():
+    logits = jnp.zeros((6, 6, 19))
+    score, imp, unc = floating_region_score(
+        logits, unc_type="none", pur_type="none", size=3, normalize=False)
+    np.testing.assert_allclose(np.asarray(score), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# greedy selection
+# ---------------------------------------------------------------------------
+
+def _run_both(H=32, W=48, n=20, r=1, m=5, seed=0, pre_active=False):
+    rng = np.random.default_rng(seed)
+    score = rng.normal(size=(H, W)).astype(np.float32)
+    gt = rng.integers(0, 19, size=(H, W)).astype(np.int32)
+    active = np.zeros((H, W), bool)
+    selected = np.zeros((H, W), bool)
+    if pre_active:
+        active[:8, :8] = True
+    active_mask = np.full((H, W), 255, np.int32)
+    score_in = score.copy()
+    score_in[active] = -np.inf
+    ws, wa, wsel, wm = np_select(score_in, n, r, m, active, selected,
+                                 active_mask, gt)
+    res = select_pixels_to_label(
+        jnp.asarray(score), jnp.asarray(active_mask), jnp.asarray(gt),
+        jnp.asarray(active), jnp.asarray(selected),
+        num_picks=n, active_radius=r, mask_radius=m)
+    return (ws, wa, wsel, wm), res
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("r,m", [(1, 5), (1, 3), (2, 2)])
+def test_selection_matches_reference_semantics(seed, r, m):
+    (ws, wa, wsel, wm), res = _run_both(seed=seed, r=r, m=m)
+    np.testing.assert_array_equal(np.asarray(res.active), wa)
+    np.testing.assert_array_equal(np.asarray(res.selected), wsel)
+    np.testing.assert_array_equal(np.asarray(res.active_mask), wm)
+    np.testing.assert_array_equal(np.asarray(res.score), ws)
+
+
+def test_selection_respects_preactive_and_budget():
+    (ws, wa, wsel, wm), res = _run_both(pre_active=True, n=10)
+    np.testing.assert_array_equal(np.asarray(res.active_mask), wm)
+    # each pick labels a (2r+1)^2 region; overlaps possible but with m>r
+    # suppression the selected area is exactly n*(2r+1)^2 here
+    assert int(res.num_picked) == 10
+    assert np.asarray(res.selected).sum() == wsel.sum()
+
+
+def test_selection_exhausts_finite_scores():
+    """When fewer finite pixels than budget, stops early like the
+    reference's -inf break (build.py:40-41)."""
+    H = W = 8
+    score = np.full((H, W), -np.inf, np.float32)
+    score[2, 3] = 1.0
+    res = select_pixels_to_label(
+        jnp.asarray(score), jnp.full((H, W), 255, jnp.int32),
+        jnp.zeros((H, W), jnp.int32), jnp.zeros((H, W), bool),
+        jnp.zeros((H, W), bool), num_picks=5, active_radius=1,
+        mask_radius=2)
+    assert int(res.num_picked) == 1
+    assert np.asarray(res.selected).sum() == 9  # one 3x3 region

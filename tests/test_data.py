@@ -1,0 +1,183 @@
+"""Data-layer tests on a synthetic on-disk mini-dataset (the reference has
+no tests; invariants here encode its documented behaviors —
+core/datasets/*.py)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from halo_tpu.config import get_default_cfg
+from halo_tpu.data import (DataLoader, DatasetCatalog, build_dataset,
+                           build_transform, remap_labels, balanced_file_list,
+                           masks)
+from halo_tpu.data.datasets import ID_TO_TRAINID_19
+
+
+@pytest.fixture()
+def mini_root(tmp_path):
+    """Fake cityscapes + gtav trees with 64x32 images."""
+    root = tmp_path / "datasets"
+    cs = root / "cityscapes"
+    names = []
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        for i in range(3):
+            name = f"city{i}/city{i}_{split}_{i:06d}_leftImg8bit.png"
+            stem = name.split("_leftImg8bit")[0]
+            img_p = cs / "leftImg8bit" / split / name
+            lab_p = cs / "gtFine" / split / f"{stem}_gtFine_labelIds.png"
+            img_p.parent.mkdir(parents=True, exist_ok=True)
+            lab_p.parent.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(rng.integers(0, 255, (32, 64, 3),
+                                         np.uint8).astype(np.uint8)).save(img_p)
+            ids = rng.choice(list(ID_TO_TRAINID_19) + [0], (32, 64))
+            Image.fromarray(ids.astype(np.uint8)).save(lab_p)
+            if split == "train":
+                names.append(name)
+    (root / "cityscapes_train_list.txt").write_text(
+        "\n".join(names) + "\n")
+    (root / "cityscapes_val_list.txt").write_text("\n".join(
+        f"city{i}/city{i}_val_{i:06d}_leftImg8bit.png" for i in range(3)))
+
+    gtav = root / "gtav"
+    gnames = []
+    for i in range(4):
+        name = f"{i:05d}.png"
+        (gtav / "images").mkdir(parents=True, exist_ok=True)
+        (gtav / "labels").mkdir(parents=True, exist_ok=True)
+        Image.fromarray(rng.integers(0, 255, (30, 50, 3),
+                                     np.uint8).astype(np.uint8)).save(
+            gtav / "images" / name)
+        ids = rng.choice(list(ID_TO_TRAINID_19), (30, 50))
+        Image.fromarray(ids.astype(np.uint8)).save(gtav / "labels" / name)
+        gnames.append(name)
+    (root / "gtav_train_list.txt").write_text("\n".join(gnames) + "\n")
+    label_to_file = [gnames for _ in range(19)]
+    file_to_label = {n: [i % 19] for i, n in enumerate(gnames)}
+    with open(gtav / "gtav_label_info.p", "wb") as f:
+        pickle.dump((label_to_file, file_to_label), f)
+    return root
+
+
+def _cfg(root, tmp_path):
+    cfg = get_default_cfg()
+    cfg.DATASETS.SOURCE_TRAIN = "gtav_train"
+    cfg.DATASETS.TARGET_TRAIN = "cityscapes_train"
+    cfg.DATASETS.TEST = "cityscapes_val"
+    cfg.INPUT.SOURCE_INPUT_SIZE_TRAIN = (48, 24)
+    cfg.INPUT.TARGET_INPUT_SIZE_TRAIN = (48, 24)
+    cfg.INPUT.INPUT_SIZE_TEST = (48, 24)
+    cfg.SOLVER.NUM_ITER = 4
+    cfg.SOLVER.BATCH_SIZE = 2
+    cfg.TPU.DATASET_DIR = str(root)
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.NAME = "t"
+    cfg.SAVE_DIR = str(tmp_path / "out" / "t")
+    cfg.SEED = 1
+    return cfg
+
+
+def test_remap_labels_matches_dict_loop():
+    rng = np.random.default_rng(1)
+    raw = rng.integers(0, 40, (20, 30)).astype(np.uint8)
+    got = remap_labels(raw, 19)
+    want = np.full_like(raw, 255)
+    for k, v in ID_TO_TRAINID_19.items():
+        want[raw == k] = v
+    np.testing.assert_array_equal(got, want)
+
+
+def test_balanced_file_list_deterministic():
+    files = [f"f{i}.png" for i in range(10)]
+    l2f = [files for _ in range(19)]
+    f2l = {f: [i % 19] for i, f in enumerate(files)}
+    a = balanced_file_list(l2f, f2l, 19, 3000, seed=7)
+    b = balanced_file_list(l2f, f2l, 19, 3000, seed=7)
+    assert a == b and len(a) >= 3000
+    c = balanced_file_list(l2f, f2l, 19, 3000, seed=8)
+    assert a != c
+
+
+def test_masks_roundtrip(tmp_path):
+    m = np.random.default_rng(0).integers(0, 255, (16, 24)).astype(np.uint8)
+    p = str(tmp_path / "sub" / "m.png")
+    masks.save_mask_png(m, p)
+    np.testing.assert_array_equal(masks.load_mask_png(p), m)
+    ind = {"active": np.zeros((4, 4), bool), "selected": np.ones((4, 4), bool)}
+    ip = str(tmp_path / "sub" / "i_indicator.pth")
+    masks.save_indicator(ind, ip)
+    back = masks.load_indicator(ip)
+    np.testing.assert_array_equal(back["selected"], ind["selected"])
+
+
+def test_init_mask_and_cityscapes_train(mini_root, tmp_path):
+    cfg = _cfg(mini_root, tmp_path)
+    DatasetCatalog.init_mask(cfg, workers=2)
+    stem = "city0/city0_train_000000"
+    assert os.path.exists(os.path.join(
+        cfg.SAVE_DIR, f"gtMask/train/{stem}_gtFine_labelIds.png"))
+
+    ds = build_dataset(cfg, mode="train", is_source=False, epochwise=True)
+    s = ds[0]
+    assert s["img"].shape == (24, 48, 3)  # sizes are (w,h) -> h=24,w=48
+    assert s["label"].shape == (24, 48)
+    assert s["mask"].shape == (24, 48)
+    assert (s["mask"] == 255).all()  # untouched mask
+    assert s["origin_label"].shape == (32, 64)
+    # labels are remapped into [0,19) U {255}
+    u = np.unique(s["label"])
+    assert ((u < 19) | (u == 255)).all()
+
+
+def test_cityscapes_active_mode_native_labels(mini_root, tmp_path):
+    cfg = _cfg(mini_root, tmp_path)
+    DatasetCatalog.init_mask(cfg, workers=2)
+    ds = build_dataset(cfg, mode="active", is_source=False, epochwise=True)
+    s = ds[0]
+    # active mode = test transform: image resized, label kept native
+    assert s["img"].shape == (24, 48, 3)
+    assert s["origin_label"].shape == (32, 64)
+    assert s["active"].shape == (32, 64)  # first-time init expands
+    assert not s["active"].any()
+
+
+def test_val_dataset_native_label(mini_root, tmp_path):
+    cfg = _cfg(mini_root, tmp_path)
+    ds = build_dataset(cfg, mode="val", is_source=False)
+    s = ds[0]
+    assert s["img"].shape == (24, 48, 3)
+    assert s["label"].shape == (32, 64)  # resize_label=False
+
+
+def test_source_dataset_and_loader(mini_root, tmp_path):
+    cfg = _cfg(mini_root, tmp_path)
+    ds = build_dataset(cfg, mode="train", is_source=True)  # balanced+repeat
+    assert len(ds) >= cfg.SOLVER.NUM_ITER * cfg.SOLVER.BATCH_SIZE
+    loader = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2, seed=3)
+    batch = next(iter(loader))
+    assert batch["img"].shape == (2, 24, 48, 3)
+    assert batch["label"].shape == (2, 24, 48)
+    # determinism across fresh loaders
+    loader2 = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2,
+                         seed=3)
+    batch2 = next(iter(loader2))
+    np.testing.assert_allclose(batch["img"], batch2["img"])
+
+
+def test_random_scale_crop_alignment(mini_root, tmp_path):
+    """Label and mask channels must stay geometrically locked through
+    RandomScale+RandomCrop (the reason the reference rides them as one
+    2-channel image, cityscapes.py:261-267)."""
+    cfg = _cfg(mini_root, tmp_path)
+    cfg.INPUT.INPUT_SCALES_TRAIN = (0.8, 1.2)
+    DatasetCatalog.init_mask(cfg, workers=2)
+    ds = build_dataset(cfg, mode="train", is_source=False, epochwise=True)
+    import random as pyrandom
+    s = ds.__getitem__(0, rng=pyrandom.Random(5))
+    s2 = ds.__getitem__(0, rng=pyrandom.Random(5))
+    np.testing.assert_allclose(s["img"], s2["img"])
+    np.testing.assert_array_equal(s["label"], s2["label"])
+    assert s["img"].shape == (24, 48, 3)

@@ -1,0 +1,137 @@
+"""Model-stack tests: backbone pyramid shapes, head contracts, param parity.
+
+Param-count assertions anchor on torchvision's published ResNet-101 size
+(44,549,160 incl. the fc head → 42,500,160 for the trunk the reference taps,
+core/models/feature_extractor.py:13-20), which pins every conv/BN shape
+without needing torch at test time.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from halo_tpu.config import get_default_cfg
+from halo_tpu.models import build_segmentor
+from halo_tpu.ops import hyperbolic as hyp
+
+
+def _cfg(name="deeplabv3plus_resnet101", hyper=True, freeze_bn=True,
+         hfr=True, reduced=64):
+    cfg = get_default_cfg()
+    cfg.defrost() if hasattr(cfg, "defrost") else None
+    cfg.MODEL.NAME = name
+    cfg.MODEL.HYPER = hyper
+    cfg.MODEL.FREEZE_BN = freeze_bn
+    cfg.MODEL.HFR = hfr
+    cfg.MODEL.REDUCED_CHANNELS = reduced
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def _init(model, x, train=False):
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    return model.init(rngs, x, train=train)
+
+
+def param_count(tree):
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(tree))
+
+
+@pytest.fixture(scope="module")
+def v3h_setup():
+    cfg = _cfg()
+    model = build_segmentor(cfg)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = _init(model, x)
+    return cfg, model, x, variables
+
+
+def test_backbone_pyramid_and_param_parity(v3h_setup):
+    _, model, x, variables = v3h_setup
+    out, embed = model.apply(variables, x, train=False)
+    # OS=8 logits at feature res when size=None: 64/4=16 low-level res.
+    assert out.shape == (1, 16, 16, 19)
+    assert embed.shape == (1, 16, 16, 64)
+    # torchvision resnet101 trunk parity: conv weights in `params`,
+    # frozen BN affine+stats in `frozen` (affine only counts as params
+    # in torch; stats are buffers there too).
+    fe_params = variables["params"]["feature_extractor"]
+    fe_frozen = variables["frozen"]["feature_extractor"]
+    n_conv = param_count(fe_params)
+    n_bn = sum(
+        int(np.prod(p.shape))
+        for path, p in jax.tree_util.tree_leaves_with_path(fe_frozen)
+        if "running" not in jax.tree_util.keystr(path))
+    assert n_conv + n_bn == 42_500_160, (n_conv, n_bn)
+
+
+def test_hyper_embed_in_ball(v3h_setup):
+    _, model, x, variables = v3h_setup
+    key = jax.random.PRNGKey(2)
+    xr = jax.random.normal(key, x.shape, jnp.float32)
+    _, embed = model.apply(variables, xr, train=False)
+    norms = np.linalg.norm(np.asarray(embed), axis=-1)
+    assert norms.max() <= 1.0 - hyp.BALL_EPS + 1e-6
+
+
+def test_logits_upsample_to_size(v3h_setup):
+    _, model, x, variables = v3h_setup
+    out, embed = model.apply(variables, x, size=(64, 64), train=False)
+    assert out.shape == (1, 64, 64, 19)
+    # v3+ hyper head keeps the embedding at feature resolution
+    # (reference: classifier.py:556-558 upsamples logits only).
+    assert embed.shape == (1, 16, 16, 64)
+
+
+def test_train_mode_dropout_needs_rng(v3h_setup):
+    _, model, x, variables = v3h_setup
+    (out, _), _ = model.apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(3)})
+    assert out.shape == (1, 16, 16, 19)
+
+
+@pytest.mark.parametrize("name,hyper,aux_none", [
+    ("deeplabv2_resnet101", False, True),
+    ("deeplabv2_resnet101", True, False),
+    ("deeplabv3plus_resnet101", False, False),
+])
+def test_all_head_variants(name, hyper, aux_none):
+    cfg = _cfg(name=name, hyper=hyper, reduced=64 if hyper else 512,
+               hfr=False)
+    model = build_segmentor(cfg)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = _init(model, x)
+    out, aux = model.apply(variables, x, size=(64, 64), train=False)
+    assert out.shape == (1, 64, 64, 19)
+    if aux_none:
+        assert aux is None
+    else:
+        assert aux is not None
+
+
+def test_live_bn_variant_has_batch_stats():
+    cfg = _cfg(freeze_bn=False)
+    model = build_segmentor(cfg)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = _init(model, x, train=False)
+    assert "batch_stats" in variables
+    out, _ = model.apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(0)})[0]
+    assert out.shape[0] == 1
+
+
+def test_dilated_stages_touch_wide_context():
+    """Output stride is 8 and receptive field grows via dilation: a pixel
+    far from an input impulse must still respond (dilation 2/4 in stages
+    3/4 per torchvision bookkeeping)."""
+    cfg = _cfg()
+    from halo_tpu.models import build_feature_extractor
+    bb = build_feature_extractor(cfg)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = bb.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    feats = bb.apply(variables, x, train=False)
+    assert feats["low"].shape == (1, 16, 16, 256)
+    assert feats["out"].shape == (1, 8, 8, 2048)
