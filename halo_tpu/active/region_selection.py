@@ -1,0 +1,104 @@
+"""Active-learning round: sweep the target set, score, select, persist.
+
+Re-implements RegionSelection (reference: core/active/build.py:71-186): for
+every target image, forward in eval mode, upsample logits (+ Poincare
+embedding when the scoring needs it) to native resolution, compute the
+region score, mask out already-active pixels, pick
+ceil(H*W*budget_round/(2r+1)^2) regions greedily, and persist the updated
+mask PNG + indicator file that the training dataloaders lazily re-read.
+
+TPU-native structure: scoring + selection compile into two fixed programs
+(one per map shape), so the per-image work is one forward + two compiled
+calls + PNG encode — versus the reference's ~2.3k serial GPU argmax
+round-trips per image (SURVEY.md §3C).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import DataLoader
+from ..data.masks import save_indicator, save_mask_png
+from ..engine.steps import make_forward
+from ..ops.resize import resize_bilinear
+from .scoring import floating_region_score
+from .selection import select_pixels_to_label
+
+
+def region_selection(cfg, model, state, active_loader, round_number: int,
+                     progress: bool = True):
+    """Run one acquisition round over ``active_loader`` (batch size 1)."""
+    per_region_pixels = (2 * cfg.ACTIVE.RADIUS_K + 1) ** 2
+    active_radius = cfg.ACTIVE.RADIUS_K
+    mask_radius = cfg.ACTIVE.MASK_RADIUS_K
+    budget_round = cfg.ACTIVE.BUDGET / len(cfg.ACTIVE.SELECT_ITER)
+    unc_type = cfg.ACTIVE.UNCERTAINTY
+    pur_type = cfg.ACTIVE.PURITY
+    normalize = bool(cfg.ACTIVE.NORMALIZE)
+    K = cfg.ACTIVE.K
+    num_classes = cfg.MODEL.NUM_CLASSES
+    curvature = float(cfg.MODEL.CURVATURE)
+
+    needs_embed = (pur_type in ("hyper", "radius", "euc_norm")
+                   or unc_type in ("certainty", "hyperbolic")
+                   or (unc_type == "none" and cfg.MODEL.HYPER))
+
+    forward = make_forward(model)
+
+    @partial(jax.jit, static_argnums=(2,))
+    def fwd_and_upsample(variables, img, size):
+        # eval forward with head upsampling to the input size, then bilinear
+        # to native resolution (reference: build.py:110-135)
+        out, aux = forward(variables, img, False)
+        out = resize_bilinear(out.astype(jnp.float32), size)
+        if needs_embed and aux is not None:
+            aux = resize_bilinear(aux.astype(jnp.float32), size)
+        return out, aux
+
+    variables = state.variables()
+    stats = {"images": 0, "picked": 0, "labeled_px": 0}
+
+    for i, batch in enumerate(iter(active_loader)):
+        img = jnp.asarray(batch["img"])
+        size = tuple(int(s) for s in batch["size"][0])
+        out, aux = fwd_and_upsample(variables, img, size)
+
+        gt = jnp.asarray(batch["origin_label"][0])
+        active_mask = jnp.asarray(batch["origin_mask"][0])
+        active = jnp.asarray(batch["active"][0])
+        selected = jnp.asarray(batch["selected"][0])
+
+        score, _, _ = floating_region_score(
+            out[0], aux[0] if aux is not None else None, gt,
+            unc_type=unc_type, pur_type=pur_type,
+            size=2 * active_radius + 1, num_classes=num_classes, K=K,
+            normalize=normalize, c=curvature)
+
+        num_pixels = size[0] * size[1]
+        active_regions = math.ceil(
+            num_pixels * budget_round / per_region_pixels)
+
+        res = select_pixels_to_label(
+            score, active_mask, gt, active, selected,
+            num_picks=active_regions, active_radius=active_radius,
+            mask_radius=mask_radius)
+
+        save_mask_png(np.asarray(res.active_mask).astype(np.uint8),
+                      batch["path_to_mask"][0])
+        save_indicator({"active": np.asarray(res.active),
+                        "selected": np.asarray(res.selected)},
+                       batch["path_to_indicator"][0])
+
+        stats["images"] += 1
+        stats["picked"] += int(res.num_picked)
+        stats["labeled_px"] += int(np.asarray(res.selected).sum())
+        if progress and (i + 1) % 200 == 0:
+            print(f"  [round {round_number}] {i + 1} images scored")
+
+    return stats

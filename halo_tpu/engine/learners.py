@@ -1,0 +1,366 @@
+"""Training protocols (learners) — the runtime over the step library.
+
+Replaces the reference's Lightning stack (reference:
+core/train_learners.py:28-715): one ``Learner`` owns the model, the mesh,
+the compiled train/eval steps, the loaders, checkpointing, validation
+cadence and active-round scheduling. Protocols differ only in their loss
+stack (engine/steps.py) and loaders, mirroring the reference's subclassing:
+
+  source        -> SourceLearner        (:220-269)
+  source_free   -> SourceFreeLearner    (:272-395)
+  source_target -> SourceTargetLearner  (:398-486)
+  fully_sup     -> FullySupervisedLearner (:489-586)
+  test          -> Test                 (:589-715)
+
+DDP-semantic parity: with n devices on the data mesh axis the per-run step
+count is NUM_ITER // n (reference scales per-rank iterations the same way,
+:181) and SELECT_ITER scale by the same factor (:299-302). Validation runs
+every 500 steps with best-mIoU checkpointing (train.py:109-115,135).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..active.region_selection import region_selection
+from ..data import DataLoader, DatasetCatalog, build_dataset
+from ..models import build_segmentor
+from ..parallel.mesh import batch_sharding, create_mesh, replicate_tree
+from ..utils.metrics import miou_from_histograms, miou_star
+from .optim import build_optimizer
+from .state import (TrainState, load_module_params, restore_state,
+                    save_checkpoint, state_from_variables)
+from .steps import make_eval_step, make_train_step
+
+NUM_WORKERS = 4
+
+
+class Learner:
+    """Shared runtime (reference BaseLearner, train_learners.py:28-217)."""
+
+    protocol: str = "source"
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.debug = bool(cfg.DEBUG)
+        self.model = build_segmentor(cfg)
+        self.mesh = create_mesh(
+            data_parallel=int(getattr(cfg.TPU, "DATA_PARALLEL", -1)),
+            spatial_parallel=int(getattr(cfg.TPU, "SPATIAL_PARALLEL", 1)))
+        self.num_devices = self.mesh.shape["data"]
+        self.tx, self.schedules = build_optimizer(cfg, self.num_devices)
+
+        seed = cfg.SEED if cfg.SEED >= 0 else int(time.time()) % (2 ** 31)
+        self.seed = seed
+        rng = jax.random.PRNGKey(seed)
+        self.rng, init_rng, drop_rng = jax.random.split(rng, 3)
+
+        # Initialize on a small dummy batch (shapes don't bind params).
+        w, h = cfg.INPUT.SOURCE_INPUT_SIZE_TRAIN
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = self.model.init(
+            {"params": init_rng, "dropout": drop_rng}, dummy, train=False)
+        self.state = state_from_variables(variables, self.tx)
+
+        if cfg.resume:
+            self.state = load_module_params(self.state, cfg.resume,
+                                            "feature_extractor")
+            self.state = load_module_params(self.state, cfg.resume,
+                                            "classifier")
+        self.state = replicate_tree(self.state, self.mesh)
+
+        self.train_step = jax.jit(make_train_step(cfg, self.model, self.tx,
+                                                  self.protocol))
+        self.eval_step = make_eval_step(cfg, self.model)
+        self.history: List[Dict] = []
+        self.best_miou = -1.0
+        self.active_round = 1
+
+    # ------------------------------------------------------------------
+    # data
+    # ------------------------------------------------------------------
+
+    def train_loaders(self) -> Dict[str, DataLoader]:
+        raise NotImplementedError
+
+    def val_loader(self) -> DataLoader:
+        test_set = build_dataset(self.cfg, mode="test",
+                                 is_source=self.protocol == "source")
+        return DataLoader(test_set, batch_size=self.cfg.TEST.BATCH_SIZE,
+                          shuffle=False, num_workers=NUM_WORKERS,
+                          seed=self.seed)
+
+    def _loader(self, mode, is_source, batch_size, shuffle=True,
+                epochwise=False, drop_last=True):
+        ds = build_dataset(self.cfg, mode=mode, is_source=is_source,
+                           epochwise=epochwise)
+        return DataLoader(ds, batch_size=batch_size, shuffle=shuffle,
+                          num_workers=NUM_WORKERS, seed=self.seed,
+                          drop_last=drop_last)
+
+    # ------------------------------------------------------------------
+    # loops
+    # ------------------------------------------------------------------
+
+    def global_batch(self) -> int:
+        return self.cfg.SOLVER.BATCH_SIZE * self.num_devices
+
+    def num_steps(self) -> int:
+        return self.cfg.SOLVER.NUM_ITER // self.num_devices
+
+    # Only the tensors the train step consumes go to device; origin_* maps
+    # and path strings stay on host (they exist for the active round).
+    _TRAIN_KEYS = ("img", "label", "mask")
+
+    def _shard(self, batch: Dict) -> Dict:
+        sh = batch_sharding(self.mesh)
+        return {k: jax.device_put(v, sh) for k, v in batch.items()
+                if k in self._TRAIN_KEYS and isinstance(v, np.ndarray)}
+
+    def on_batch_start(self, step: int) -> bool:
+        """Returns True if an active round ran (fit() then refreshes its
+        loader iterators so prefetched batches don't carry stale masks)."""
+        return False
+
+    def log(self, step: int, metrics: Dict):
+        rec = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        self.history.append(rec)
+        if step % 50 == 0 or self.debug:
+            msg = " ".join(f"{k}={v:.4f}" for k, v in rec.items()
+                           if k != "step")
+            print(f"[{self.protocol}] step {step}: {msg}", flush=True)
+        self._append_jsonl(rec)
+
+    def _append_jsonl(self, rec):
+        path = os.path.join(self.cfg.SAVE_DIR, "metrics.jsonl")
+        os.makedirs(self.cfg.SAVE_DIR, exist_ok=True)
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def fit(self, max_steps: Optional[int] = None,
+            val_interval: int = 500):
+        loaders = self.train_loaders()
+        steps = max_steps or self.num_steps()
+        iters = {k: iter(v) for k, v in loaders.items()}
+
+        for step in range(steps):
+            if self.on_batch_start(step):
+                # Active round updated masks on disk; drop prefetched
+                # batches so the new labels are picked up immediately
+                # (the reference's lazy re-read has the same staleness
+                # up to its prefetch depth, cityscapes.py:232-234).
+                iters = {k: iter(v) for k, v in loaders.items()}
+            batches = {}
+            for k, loader in loaders.items():
+                try:
+                    batches[k] = self._shard(next(iters[k]))
+                except StopIteration:
+                    loader.set_epoch(loader.epoch + 1)
+                    iters[k] = iter(loader)
+                    batches[k] = self._shard(next(iters[k]))
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, metrics = self.train_step(self.state, batches,
+                                                  step_rng)
+            self.log(step, metrics)
+
+            if val_interval and (step + 1) % val_interval == 0:
+                miou = self.validate()
+                if miou > self.best_miou:
+                    self.best_miou = miou
+                    save_checkpoint(
+                        self.state,
+                        os.path.join(self.cfg.SAVE_DIR, "best_mIoU.ckpt"),
+                        extra={"mIoU": miou, "step": step})
+
+        save_checkpoint(self.state,
+                        os.path.join(self.cfg.SAVE_DIR, "last.ckpt"))
+        return self.history
+
+    def validate(self, loader: Optional[DataLoader] = None,
+                 max_batches: Optional[int] = None) -> float:
+        loader = loader or self.val_loader()
+        inter = None
+        for i, batch in enumerate(iter(loader)):
+            if max_batches is not None and i >= max_batches:
+                break
+            img = jnp.asarray(batch["img"])
+            label = jnp.asarray(batch["label"])
+            it, un, tg = self.eval_step(self.state, img, label, flip=True)
+            if inter is None:
+                inter, union, target = it, un, tg
+            else:
+                inter, union, target = inter + it, union + un, target + tg
+        if inter is None:
+            return 0.0
+        miou, macc, aacc, iou_c, _ = miou_from_histograms(inter, union,
+                                                          target)
+        miou = float(miou) * 100
+        print(f"\nmIoU: {miou:.2f}\nmAcc: {float(macc) * 100:.2f}\n"
+              f"aAcc: {float(aacc) * 100:.2f}\n", flush=True)
+        self._append_jsonl({"mIoU": miou, "mAcc": float(macc) * 100,
+                            "aAcc": float(aacc) * 100})
+        return miou
+
+
+class SourceLearner(Learner):
+    """Plain source-domain CE pretraining (reference :220-269)."""
+
+    protocol = "source"
+
+    def train_loaders(self):
+        return {"source": self._loader("train", True, self.global_batch())}
+
+
+class _ActiveMixin:
+    """Active-round scheduling (reference SourceFreeLearner :272-326)."""
+
+    def _init_active(self):
+        cfg = self.cfg
+        active_set = build_dataset(cfg, mode="active", is_source=False,
+                                   epochwise=True)
+        self.active_loader = DataLoader(active_set, batch_size=1,
+                                        shuffle=False,
+                                        num_workers=NUM_WORKERS,
+                                        seed=self.seed)
+        print(">>>>>>>>>>>>>>>> Init Mask >>>>>>>>>>>>>>>>", flush=True)
+        DatasetCatalog.init_mask(cfg)
+        self._compute_active_iters()
+
+    def _compute_active_iters(self):
+        cfg = self.cfg
+        data_len = cfg.SOLVER.NUM_ITER * cfg.SOLVER.BATCH_SIZE
+        denom = (cfg.SOLVER.NUM_ITER * cfg.SOLVER.BATCH_SIZE
+                 * self.num_devices)
+        self.active_iters = [int(x * data_len / denom)
+                             for x in cfg.ACTIVE.SELECT_ITER]
+        print(f"\nActive learning at iters: {self.active_iters}\n",
+              flush=True)
+
+    def on_batch_start(self, step: int) -> bool:
+        if step in self.active_iters and not self.debug:
+            name = f"model_before_round_{self.active_round}.ckpt"
+            print(f"\nSaving checkpoint: {name}", flush=True)
+            save_checkpoint(self.state,
+                            os.path.join(self.cfg.SAVE_DIR, name))
+            print(f"\n>>>> Active Round {self.active_round} >>>>",
+                  flush=True)
+            stats = region_selection(self.cfg, self.model, self.state,
+                                     self.active_loader, self.active_round)
+            print(f"  selected {stats['picked']} regions / "
+                  f"{stats['labeled_px']} px over {stats['images']} images",
+                  flush=True)
+            self.active_round += 1
+            return True
+        return False
+
+
+class SourceFreeLearner(_ActiveMixin, Learner):
+    """Target-only active adaptation (reference :272-395)."""
+
+    protocol = "source_free"
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self._init_active()
+
+    def train_loaders(self):
+        return {"target": self._loader("train", False, self.global_batch())}
+
+
+class SourceTargetLearner(SourceFreeLearner):
+    """Source CE + target active CE + LCR + negative (reference :398-486)."""
+
+    protocol = "source_target"
+
+    def train_loaders(self):
+        return {"source": self._loader("train", True, self.global_batch()),
+                "target": self._loader("train", False, self.global_batch())}
+
+
+class FullySupervisedLearner(SourceTargetLearner):
+    """GT labels on both domains, no selection (reference :489-586)."""
+
+    protocol = "fully_sup"
+
+    def __init__(self, cfg):
+        Learner.__init__(self, cfg)  # skip active init
+        self.active_iters = []
+
+    def on_batch_start(self, step: int):
+        pass
+
+
+class TestLearner(Learner):
+    """Evaluation-only runtime (reference Test, :589-715)."""
+
+    protocol = "test"
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+
+    def train_loaders(self):  # pragma: no cover
+        raise RuntimeError("TestLearner does not train")
+
+    def test(self, max_batches: Optional[int] = None) -> Dict:
+        loader = self.val_loader()
+        inter = union = target = None
+        for i, batch in enumerate(iter(loader)):
+            if max_batches is not None and i >= max_batches:
+                break
+            img = jnp.asarray(batch["img"])
+            label = jnp.asarray(batch["label"])
+            it, un, tg = self.eval_step(self.state, img, label, flip=True)
+            if inter is None:
+                inter, union, target = it, un, tg
+            else:
+                inter, union, target = inter + it, union + un, target + tg
+        miou, macc, aacc, iou_c, acc_c = miou_from_histograms(
+            inter, union, target)
+        result = {
+            "mIoU": float(miou) * 100,
+            "mAcc": float(macc) * 100,
+            "aAcc": float(aacc) * 100,
+            "iou_class": [float(x) * 100 for x in iou_c],
+        }
+        if self.cfg.MODEL.NUM_CLASSES == 16:
+            result["mIoU*"] = float(miou_star(iou_c)) * 100
+        # per-class table + LaTeX row (reference :664-674)
+        from ..data.datasets import TRAINID2NAME_16, TRAINID2NAME_19
+        names = (TRAINID2NAME_16 if self.cfg.MODEL.NUM_CLASSES == 16
+                 else TRAINID2NAME_19)
+        for idx, iou in enumerate(result["iou_class"]):
+            print(f"{names[idx]:>12s}: {iou:6.2f}")
+        print(" & ".join(f"{x:.1f}" for x in result["iou_class"])
+              + f" & {result['mIoU']:.1f}")
+        print(f"mIoU: {result['mIoU']:.2f}")
+        return result
+
+    def val_loader(self):
+        test_set = build_dataset(self.cfg, mode="test", is_source=False)
+        return DataLoader(test_set, batch_size=self.cfg.TEST.BATCH_SIZE,
+                          shuffle=False, num_workers=NUM_WORKERS,
+                          seed=self.seed)
+
+
+PROTOCOLS = {
+    "source": SourceLearner,
+    "source_free": SourceFreeLearner,
+    "source_target": SourceTargetLearner,
+    "fully_sup": FullySupervisedLearner,
+    "test": TestLearner,
+}
+
+
+def build_learner(cfg) -> Learner:
+    """Protocol dispatch (reference: train.py:31-36,103-107)."""
+    if cfg.PROTOCOL not in PROTOCOLS:
+        raise NotImplementedError(f"Unknown protocol: {cfg.PROTOCOL}")
+    return PROTOCOLS[cfg.PROTOCOL](cfg)

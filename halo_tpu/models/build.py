@@ -36,8 +36,8 @@ def register_head(name, hyper):
     return deco
 
 
-for _rn in ("resnet50", "resnet101", "resnet152", "resnext50_32x4d",
-            "resnext101_32x8d"):
+for _rn in ("resnettiny", "resnet50", "resnet101", "resnet152",
+            "resnext50_32x4d", "resnext101_32x8d"):
     BACKBONES[_rn] = (
         lambda cfg, dtype, _n=_rn: resnet_feature_extractor(
             _n, freeze_bn=cfg.MODEL.FREEZE_BN, dtype=dtype))

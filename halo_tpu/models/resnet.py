@@ -146,6 +146,7 @@ class ResNetFeatures(nn.Module):
 
 _ARCHS = {
     # name: (stage_sizes, groups, width_per_group)
+    "resnettiny": ((1, 1, 1, 1), 1, 64),  # test/debug-scale arch
     "resnet50": ((3, 4, 6, 3), 1, 64),
     "resnet101": ((3, 4, 23, 3), 1, 64),
     "resnet152": ((3, 8, 36, 3), 1, 64),

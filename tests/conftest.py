@@ -24,3 +24,79 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import numpy as np
+import pickle
+import pytest
+from PIL import Image
+
+
+@pytest.fixture()
+def mini_root(tmp_path):
+    """Fake cityscapes + gtav trees with 64x32 images."""
+    root = tmp_path / "datasets"
+    cs = root / "cityscapes"
+    names = []
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        for i in range(3):
+            name = f"city{i}/city{i}_{split}_{i:06d}_leftImg8bit.png"
+            stem = name.split("_leftImg8bit")[0]
+            img_p = cs / "leftImg8bit" / split / name
+            lab_p = cs / "gtFine" / split / f"{stem}_gtFine_labelIds.png"
+            img_p.parent.mkdir(parents=True, exist_ok=True)
+            lab_p.parent.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(rng.integers(0, 255, (32, 64, 3),
+                                         np.uint8).astype(np.uint8)).save(img_p)
+            ids = rng.choice(list(ID_TO_TRAINID_19) + [0], (32, 64))
+            Image.fromarray(ids.astype(np.uint8)).save(lab_p)
+            if split == "train":
+                names.append(name)
+    (root / "cityscapes_train_list.txt").write_text(
+        "\n".join(names) + "\n")
+    (root / "cityscapes_val_list.txt").write_text("\n".join(
+        f"city{i}/city{i}_val_{i:06d}_leftImg8bit.png" for i in range(3)))
+
+    gtav = root / "gtav"
+    gnames = []
+    for i in range(4):
+        name = f"{i:05d}.png"
+        (gtav / "images").mkdir(parents=True, exist_ok=True)
+        (gtav / "labels").mkdir(parents=True, exist_ok=True)
+        Image.fromarray(rng.integers(0, 255, (30, 50, 3),
+                                     np.uint8).astype(np.uint8)).save(
+            gtav / "images" / name)
+        ids = rng.choice(list(ID_TO_TRAINID_19), (30, 50))
+        Image.fromarray(ids.astype(np.uint8)).save(gtav / "labels" / name)
+        gnames.append(name)
+    (root / "gtav_train_list.txt").write_text("\n".join(gnames) + "\n")
+    label_to_file = [gnames for _ in range(19)]
+    file_to_label = {n: [i % 19] for i, n in enumerate(gnames)}
+    with open(gtav / "gtav_label_info.p", "wb") as f:
+        pickle.dump((label_to_file, file_to_label), f)
+    return root
+
+
+def make_mini_cfg(root, tmp_path):
+    cfg = get_default_cfg()
+    cfg.DATASETS.SOURCE_TRAIN = "gtav_train"
+    cfg.DATASETS.TARGET_TRAIN = "cityscapes_train"
+    cfg.DATASETS.TEST = "cityscapes_val"
+    cfg.INPUT.SOURCE_INPUT_SIZE_TRAIN = (48, 24)
+    cfg.INPUT.TARGET_INPUT_SIZE_TRAIN = (48, 24)
+    cfg.INPUT.INPUT_SIZE_TEST = (48, 24)
+    cfg.SOLVER.NUM_ITER = 4
+    cfg.SOLVER.BATCH_SIZE = 2
+    cfg.TPU.DATASET_DIR = str(root)
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.NAME = "t"
+    cfg.SAVE_DIR = str(tmp_path / "out" / "t")
+    cfg.SEED = 1
+    return cfg
+
+
+
+
+from halo_tpu.config import get_default_cfg
+from halo_tpu.data.datasets import ID_TO_TRAINID_19

@@ -1,0 +1,132 @@
+"""Engine integration tests: optimizer parity, train-step loss decrease,
+active round end-to-end, checkpointing, and the 8-device SPMD path
+(SURVEY.md §4 test plan items 3-4)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import make_mini_cfg
+from halo_tpu.engine import build_learner
+from halo_tpu.engine.optim import torch_warmup_poly_schedule
+from halo_tpu.engine.state import (load_module_params, restore_state,
+                                   save_checkpoint)
+
+
+def tiny_cfg(mini_root, tmp_path, protocol="source", devices=1):
+    cfg = make_mini_cfg(mini_root, tmp_path)
+    cfg.MODEL.NAME = "deeplabv3plus_resnettiny"
+    cfg.MODEL.HYPER = True
+    cfg.MODEL.HFR = True
+    cfg.MODEL.REDUCED_CHANNELS = 16
+    cfg.MODEL.FREEZE_BN = True
+    cfg.PROTOCOL = protocol
+    cfg.SOLVER.BASE_LR = 0.005
+    cfg.SOLVER.NUM_ITER = 6
+    cfg.SOLVER.BATCH_SIZE = 2
+    cfg.SOLVER.WARMUP_ITERS = 0
+    cfg.ACTIVE.SELECT_ITER = [1]
+    cfg.ACTIVE.BUDGET = 0.05
+    cfg.ACTIVE.MASK_RADIUS_K = 2
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.DATA_PARALLEL = devices
+    return cfg
+
+
+def test_warmup_poly_schedule_matches_torch_formula():
+    """LinearLR(0.01->1 over 600) then PolynomialLR(power) parity
+    (reference: train_learners.py:184-203)."""
+    base, W, total, power = 1e-3, 600, 60000, 0.5
+    sched = torch_warmup_poly_schedule(base, W, total, power)
+    # torch LinearLR at t<W: factor = 0.01 + 0.99*t/W
+    for t in [0, 100, 599]:
+        want = base * (0.01 + 0.99 * t / W)
+        np.testing.assert_allclose(float(sched(t)), want, rtol=1e-6)
+    P = total - W
+    for t in [600, 10000, 59999]:
+        want = base * (1 - (t - W) / P) ** power
+        np.testing.assert_allclose(float(sched(t)), want, rtol=1e-5)
+
+
+def test_source_learner_loss_decreases(mini_root, tmp_path):
+    cfg = tiny_cfg(mini_root, tmp_path, "source")
+    learner = build_learner(cfg)
+    hist = learner.fit(max_steps=6, val_interval=0)
+    losses = [h["loss"] for h in hist]
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-2:]) < np.mean(losses[:2])
+    assert os.path.exists(os.path.join(cfg.SAVE_DIR, "last.ckpt"))
+
+
+def test_source_target_active_round(mini_root, tmp_path):
+    cfg = tiny_cfg(mini_root, tmp_path, "source_target")
+    learner = build_learner(cfg)
+    hist = learner.fit(max_steps=3, val_interval=0)
+    assert learner.active_round == 2  # one round ran (at step 1)
+    # masks now contain GT labels in the selected regions
+    from halo_tpu.data.masks import load_mask_png, load_indicator
+    mask_dir = os.path.join(cfg.SAVE_DIR, "gtMask/train")
+    found_labeled = 0
+    for root, _dirs, files in os.walk(mask_dir):
+        for f in files:
+            m = load_mask_png(os.path.join(root, f))
+            found_labeled += int((m != 255).sum())
+    assert found_labeled > 0
+    ind_dir = os.path.join(cfg.SAVE_DIR, "gtIndicator/train")
+    inds = []
+    for root, _dirs, files in os.walk(ind_dir):
+        inds += [os.path.join(root, f) for f in files]
+    assert inds
+    ind = load_indicator(inds[0])
+    assert ind["active"].shape == (32, 64)
+    assert ind["active"].sum() >= ind["selected"].sum() > 0
+    # budget: ceil(32*64*0.05/9) regions * 9 px, overlaps reduce it
+    per_round = np.ceil(32 * 64 * 0.05 / 9) * 9
+    assert ind["selected"].sum() <= per_round
+    # losses include all four components
+    assert {"loss", "loss_sup", "loss_sup_tgt",
+            "negative_loss"} <= set(hist[0].keys()) - {"step"}
+
+
+def test_checkpoint_roundtrip_and_module_load(mini_root, tmp_path):
+    cfg = tiny_cfg(mini_root, tmp_path, "source")
+    learner = build_learner(cfg)
+    p = str(tmp_path / "ck.ckpt")
+    save_checkpoint(learner.state, p, extra={"mIoU": 1.0})
+    st2 = restore_state(learner.state, p)
+    a = jax.tree_util.tree_leaves(learner.state.params)[0]
+    b = jax.tree_util.tree_leaves(st2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # per-module load into a fresh learner
+    learner2 = build_learner(cfg)
+    st3 = load_module_params(learner2.state, p, "classifier")
+    ca = learner.state.params["classifier"]
+    cb = st3.params["classifier"]
+    la = jax.tree_util.tree_leaves(ca)
+    lb = jax.tree_util.tree_leaves(cb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_eight_device_spmd(mini_root, tmp_path):
+    """Full train step sharded over the fake 8-device CPU mesh — the DDP
+    replacement path (SURVEY.md §2.2)."""
+    assert jax.device_count() >= 8
+    cfg = tiny_cfg(mini_root, tmp_path, "source", devices=8)
+    cfg.SOLVER.BATCH_SIZE = 1  # global batch 8
+    learner = build_learner(cfg)
+    assert learner.num_devices == 8
+    hist = learner.fit(max_steps=2, val_interval=0)
+    assert np.isfinite(hist[-1]["loss"])
+
+
+def test_validation_and_test_learner(mini_root, tmp_path):
+    cfg = tiny_cfg(mini_root, tmp_path, "test")
+    from halo_tpu.engine import TestLearner
+    learner = TestLearner(cfg)
+    result = learner.test(max_batches=2)
+    assert 0 <= result["mIoU"] <= 100
+    assert len(result["iou_class"]) == 19

@@ -1,0 +1,53 @@
+"""Training entry point: ``python train.py -cfg PATH [KEY VALUE ...]``.
+
+CLI-compatible with the reference (reference: train.py:75-144) but the
+Trainer is the TPU-native Learner runtime: one jitted SPMD program over a
+device mesh instead of Lightning DDP process spawning.
+"""
+
+import random
+
+import jax
+
+from halo_tpu.config import cfg
+from halo_tpu.engine import build_learner
+from halo_tpu.utils.misc import mkdir, parse_args
+
+
+def main():
+    args = parse_args(description=(
+        "Active Domain Adaptive Semantic Segmentation Training (TPU)"))
+    print(args, end="\n\n")
+
+    if cfg.SAVE_DIR:
+        mkdir(cfg.SAVE_DIR)
+
+    try:  # optional: ps-visible process title (reference train.py:83)
+        import setproctitle
+        setproctitle.setproctitle(cfg.NAME)
+    except ImportError:
+        pass
+
+    wandb_run = None
+    if cfg.WANDB.ENABLE and not cfg.DEBUG:
+        try:
+            import wandb
+            wandb_run = wandb.init(
+                project=cfg.WANDB.PROJECT, name=cfg.NAME,
+                entity=cfg.WANDB.ENTITY, group=cfg.WANDB.GROUP,
+                config=dict(cfg), dir=".")
+        except Exception as e:  # zero-egress envs: log locally only
+            print(f"wandb disabled: {e}")
+
+    print(f"\n\n>>>>>>>>>>>>>> PROTOCOL: {cfg.PROTOCOL} <<<<<<<<<<<<<<\n")
+    print(f"devices: {jax.devices()}\n")
+
+    learner = build_learner(cfg)
+    learner.fit(val_interval=500)
+
+    if wandb_run is not None:
+        wandb_run.finish()
+
+
+if __name__ == "__main__":
+    main()
