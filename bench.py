@@ -46,23 +46,16 @@ def main():
             pur_type="radius", size=3, num_classes=C, normalize=True)
         return s
 
-    # Batch NBUF maps per dispatch (vmap) — the deployment shape of the
-    # RegionSelection sweep — so host->device dispatch latency amortizes
-    # and the measurement reflects chip throughput.
-    score_batch = jax.jit(jax.vmap(score_one))
-
     # warmup/compile
-    jax.block_until_ready(score_batch(logits, embed))
+    jax.block_until_ready(score_one(logits[0], embed[0]))
 
     t0 = time.perf_counter()
-    acc = 0.0
-    for _ in range(ITERS // NBUF):
-        s = score_batch(logits, embed)
-        acc = acc + s[0, 0, 0]
-    jax.block_until_ready(acc)
+    for i in range(ITERS):
+        s = score_one(logits[i % NBUF], embed[i % NBUF])
+    jax.block_until_ready(s)
     dt = time.perf_counter() - t0
 
-    mpx_per_s = (ITERS // NBUF) * NBUF * H * W / 1e6 / dt
+    mpx_per_s = ITERS * H * W / 1e6 / dt
     print(json.dumps({
         "metric": "acquisition_scoring_throughput",
         "value": round(mpx_per_s, 1),

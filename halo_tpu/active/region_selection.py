@@ -28,7 +28,7 @@ from ..data.masks import save_indicator, save_mask_png
 from ..engine.steps import make_forward
 from ..ops.resize import resize_bilinear
 from .scoring import floating_region_score
-from .selection import select_pixels_to_label
+from .selection import pallas_select_pixels_to_label, select_pixels_to_label
 
 
 def region_selection(cfg, model, state, active_loader, round_number: int,
@@ -64,6 +64,12 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
     variables = state.variables()
     stats = {"images": 0, "picked": 0, "labeled_px": 0}
 
+    viz_list = []
+    if cfg.ACTIVE.VIZ_MASK:
+        # 20 fixed pseudo-random image indices (reference: build.py:23-24)
+        viz_list = list(np.random.RandomState(
+            max(cfg.SEED, 0) + 1).randint(0, 500, 20))
+
     for i, batch in enumerate(iter(active_loader)):
         img = jnp.asarray(batch["img"])
         size = tuple(int(s) for s in batch["size"][0])
@@ -84,7 +90,11 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
         active_regions = math.ceil(
             num_pixels * budget_round / per_region_pixels)
 
-        res = select_pixels_to_label(
+        use_pallas = (bool(getattr(cfg.TPU, "PALLAS_SELECTION", True))
+                      and jax.default_backend() == "tpu")
+        select = (pallas_select_pixels_to_label if use_pallas
+                  else select_pixels_to_label)
+        res = select(
             score, active_mask, gt, active, selected,
             num_picks=active_regions, active_radius=active_radius,
             mask_radius=mask_radius)
@@ -98,6 +108,20 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
         stats["images"] += 1
         stats["picked"] += int(res.num_picked)
         stats["labeled_px"] += int(np.asarray(res.selected).sum())
+
+        if cfg.ACTIVE.VIZ_MASK and i in viz_list:
+            from ..ops.resize import resize_bilinear as _rb
+            from ..utils.visualize import (denormalize_image,
+                                           visualization_plots)
+            img_native = np.asarray(_rb(img[0].astype(jnp.float32), size))
+            mean = np.asarray(cfg.INPUT.PIXEL_MEAN) * 255.0
+            std = np.asarray(cfg.INPUT.PIXEL_STD) * 255.0
+            visualization_plots(
+                denormalize_image(img_native, mean, std),
+                np.asarray(score), np.asarray(res.active_mask),
+                round_number, batch["name"][0], cfg.SAVE_DIR,
+                uncertainty=unc_type, purity=pur_type)
+
         if progress and (i + 1) % 200 == 0:
             print(f"  [round {round_number}] {i + 1} images scored")
 

@@ -116,10 +116,29 @@ def select_pixels_to_label(score,
         0, num_picks, body, (score_p, colmax_p, colrow_p, picks0,
                              jnp.int32(0)))
 
-    # ------------------------------------------------------------------
-    # Replay picks onto padded canvases with small block writes.
-    # ------------------------------------------------------------------
+    active_mask_out, selected_out, active_out = apply_picks(
+        picks, active_mask, ground_truth, active, selected,
+        active_radius=r, mask_radius=m)
+    score_out = score_p[:, m:m + w_dim]
+    return SelectionResult(score_out, active_out, selected_out,
+                           active_mask_out, picks, num_picked)
+
+
+@partial(jax.jit, static_argnames=("active_radius", "mask_radius"))
+def apply_picks(picks, active_mask, ground_truth, active, selected, *,
+                active_radius: int, mask_radius: int):
+    """Replay pick coordinates onto the mask canvases with small
+    dynamic_update_slice block writes (reference semantics:
+    build.py:55-62). Shared by the XLA loop and the Pallas kernel path.
+
+    Returns (active_mask, selected, active), each (H, W).
+    """
+    r, m = active_radius, mask_radius
+    rw, mw = 2 * r + 1, 2 * m + 1
+    h_dim, w_dim = active_mask.shape
+    num_picks = picks.shape[0]
     dtype_mask = active_mask.dtype
+
     gt_rp = jnp.pad(ground_truth, ((r, r), (r, r)))
     am_rp = jnp.pad(active_mask, ((r, r), (r, r)))
     sel_rp = jnp.pad(selected, ((r, r), (r, r)))
@@ -149,9 +168,30 @@ def select_pixels_to_label(score,
     am_rp, sel_rp, act_mp = jax.lax.fori_loop(
         0, num_picks, apply, (am_rp, sel_rp, act_mp))
 
-    active_mask = am_rp[r:r + h_dim, r:r + w_dim].astype(dtype_mask)
-    selected_out = sel_rp[r:r + h_dim, r:r + w_dim]
-    active_out = act_mp[m:m + h_dim, m:m + w_dim]
-    score_out = score_p[:, m:m + w_dim]
-    return SelectionResult(score_out, active_out, selected_out, active_mask,
-                           picks, num_picked)
+    return (am_rp[r:r + h_dim, r:r + w_dim].astype(dtype_mask),
+            sel_rp[r:r + h_dim, r:r + w_dim],
+            act_mp[m:m + h_dim, m:m + w_dim])
+
+
+def pallas_select_pixels_to_label(score, active_mask, ground_truth, active,
+                                  selected, *, num_picks: int,
+                                  active_radius: int, mask_radius: int,
+                                  interpret: bool = False
+                                  ) -> SelectionResult:
+    """Same contract as select_pixels_to_label but the pick loop runs as a
+    single VMEM-resident Pallas kernel (pallas_select.py). The suppressed
+    score equals -inf exactly on the updated ``active`` set, so it is
+    reconstructed from the replay instead of copied out of VMEM.
+    """
+    from .pallas_select import pallas_greedy_picks
+
+    score = jnp.where(active, NEG_INF, score.astype(jnp.float32))
+    picks, num_picked = pallas_greedy_picks(
+        score, num_picks=num_picks, mask_radius=mask_radius,
+        interpret=interpret)
+    active_mask_out, selected_out, active_out = apply_picks(
+        picks, active_mask, ground_truth, active, selected,
+        active_radius=active_radius, mask_radius=mask_radius)
+    score_out = jnp.where(active_out, NEG_INF, score)
+    return SelectionResult(score_out, active_out, selected_out,
+                           active_mask_out, picks, num_picked)

@@ -108,6 +108,9 @@ _C.TPU.DATA_PARALLEL = -1
 _C.TPU.SPATIAL_PARALLEL = 1
 # Use the fused Pallas scoring kernel (falls back to lax ops when False).
 _C.TPU.PALLAS_SCORING = True
+# Run greedy selection as the VMEM-resident Pallas kernel (XLA loop when
+# False or when not running on TPU hardware).
+_C.TPU.PALLAS_SELECTION = True
 # Host data-loader worker threads.
 _C.TPU.LOADER_WORKERS = 4
 # Directory with dataset roots (reference hardcodes "datasets"; the catalog

@@ -24,6 +24,10 @@ class DatasetCatalog:
                              "data_list": "cityscapes_train_list.txt"},
         "cityscapes_val": {"data_dir": "cityscapes",
                            "data_list": "cityscapes_val_list.txt"},
+        # ACDC adverse-condition target (reference `acdc` branch capability)
+        "acdc_train": {"data_dir": "acdc", "data_list":
+                       "acdc_train_list.txt"},
+        "acdc_val": {"data_dir": "acdc", "data_list": "acdc_val_list.txt"},
     }
 
     @staticmethod
@@ -58,6 +62,12 @@ class DatasetCatalog:
                 root, data_list, save_dir=cfg.SAVE_DIR, max_iters=max_iters,
                 num_classes=num_classes, split=mode, transform=transform,
                 empty=empty)
+        if "acdc" in name:
+            from .acdc import ACDCDataSet
+            return ACDCDataSet(
+                root, data_list, save_dir=cfg.SAVE_DIR, max_iters=max_iters,
+                num_classes=num_classes, split=mode, transform=transform,
+                empty=empty)
         raise RuntimeError(f"Dataset not available: {name}")
 
     @staticmethod
@@ -65,26 +75,21 @@ class DatasetCatalog:
         """Write 255-filled mask PNGs + scalar indicators for every target
         train image (reference: initMask, dataset_path_catalog.py:69-121;
         joblib parallelism replaced with a thread pool — PIL encode/IO
-        release the GIL)."""
+        release the GIL). Generic over target datasets (cityscapes/acdc):
+        paths come from the dataset's own entries instead of a hardcoded
+        template."""
         from .masks import init_image_mask
 
-        data_dir = DatasetCatalog.dataset_dir(cfg)
-        attrs = DatasetCatalog.DATASETS["cityscapes_train"]
-        root = os.path.join(data_dir, attrs["data_dir"])
-        with open(os.path.join(data_dir, attrs["data_list"])) as handle:
-            names = [line.strip() for line in handle if line.strip()]
+        target = cfg.DATASETS.TARGET_TRAIN or "cityscapes_train"
+        ds = DatasetCatalog.get(target, "train",
+                                num_classes=cfg.MODEL.NUM_CLASSES, cfg=cfg)
 
-        def one(name):
-            stem = name.split("_leftImg8bit")[0]
-            init_image_mask(
-                os.path.join(root, f"leftImg8bit/train/{name}"),
-                os.path.join(cfg.SAVE_DIR,
-                             f"gtMask/train/{stem}_gtFine_labelIds.png"),
-                os.path.join(cfg.SAVE_DIR,
-                             f"gtIndicator/train/{stem}_indicator.pth"))
+        def one(files):
+            init_image_mask(files["img"], files["label_mask"],
+                            files["indicator"])
 
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            list(pool.map(one, names))
+            list(pool.map(one, ds.data_list))
 
     # reference-compatible alias (dataset_path_catalog.py:69)
     initMask = init_mask

@@ -83,6 +83,7 @@ class Learner:
         self.history: List[Dict] = []
         self.best_miou = -1.0
         self.active_round = 1
+        self.wandb_run = None  # optional; set by the CLI entry point
 
     # ------------------------------------------------------------------
     # data
@@ -137,6 +138,8 @@ class Learner:
             msg = " ".join(f"{k}={v:.4f}" for k, v in rec.items()
                            if k != "step")
             print(f"[{self.protocol}] step {step}: {msg}", flush=True)
+        if self.wandb_run is not None:
+            self.wandb_run.log(rec, step=step)
         self._append_jsonl(rec)
 
     def _append_jsonl(self, rec):
@@ -311,13 +314,31 @@ class TestLearner(Learner):
 
     def test(self, max_batches: Optional[int] = None) -> Dict:
         loader = self.val_loader()
+        cfg = self.cfg
+        rich = bool(cfg.TEST.SAVE_EMBED or cfg.TEST.VIZ_WRONG)
+        if rich:
+            from .steps import make_rich_eval_step
+            rich_step = make_rich_eval_step(cfg, self.model)
+            viz_list = set(np.random.RandomState(
+                max(cfg.SEED, 0) + 1).randint(0, 500, 20).tolist())
         inter = union = target = None
         for i, batch in enumerate(iter(loader)):
             if max_batches is not None and i >= max_batches:
                 break
             img = jnp.asarray(batch["img"])
             label = jnp.asarray(batch["label"])
-            it, un, tg = self.eval_step(self.state, img, label, flip=True)
+            if rich:
+                r = rich_step(self.state, img, label, flip=True)
+                it, un, tg = r["inter"], r["union"], r["target"]
+                name = (batch["name"][0].rsplit("/", 1)[-1]
+                        .rsplit("_", 1)[0] if batch.get("name") else str(i))
+                if cfg.TEST.SAVE_EMBED:
+                    self._save_artifacts(r, label, name)
+                if cfg.TEST.VIZ_WRONG and i in viz_list:
+                    self._viz_wrong(r, img, label, name)
+            else:
+                it, un, tg = self.eval_step(self.state, img, label,
+                                            flip=True)
             if inter is None:
                 inter, union, target = it, un, tg
             else:
@@ -348,6 +369,42 @@ class TestLearner(Learner):
         return DataLoader(test_set, batch_size=self.cfg.TEST.BATCH_SIZE,
                           shuffle=False, num_workers=NUM_WORKERS,
                           seed=self.seed)
+
+    def _save_artifacts(self, r, label, name):
+        """Dump embed/pred/output/label tensors (reference
+        save_embeddings, train_learners.py:608-623, 710-715)."""
+        embed_dir = os.path.join(self.cfg.SAVE_DIR, "embed")
+        os.makedirs(embed_dir, exist_ok=True)
+        blob = {"label": np.asarray(label),
+                "pred": np.asarray(r["pred"]),
+                "output": np.asarray(r["prob"])}
+        if "embed" in r:
+            blob["embed"] = np.asarray(r["embed"])
+        try:
+            import torch
+            torch.save({k: torch.from_numpy(v) for k, v in blob.items()},
+                       os.path.join(embed_dir, name + ".pt"))
+        except ImportError:
+            np.savez_compressed(os.path.join(embed_dir, name + ".npz"),
+                                **blob)
+
+    def _viz_wrong(self, r, img, label, name):
+        from ..utils.visualize import denormalize_image, visualize_wrong
+        from ..ops.resize import resize_bilinear as _rb
+        size = label.shape[1:3]
+        img_native = np.asarray(_rb(img[0].astype(jnp.float32),
+                                    tuple(int(s) for s in size)))
+        mean = np.asarray(self.cfg.INPUT.PIXEL_MEAN) * 255.0
+        std = np.asarray(self.cfg.INPUT.PIXEL_STD) * 255.0
+        radius = np.asarray(r.get("radius",
+                                  jnp.zeros(r["pred"].shape)))[0]
+        visualize_wrong(
+            denormalize_image(img_native, mean, std),
+            np.asarray(r["pred"][0]), np.asarray(label[0]),
+            np.asarray(r["entropy"][0]), radius,
+            np.asarray(r["entropy"][0]) * radius,
+            os.path.join(self.cfg.SAVE_DIR, "viz", "wrong", name + ".png"),
+            ignore_label=self.cfg.INPUT.IGNORE_LABEL)
 
 
 PROTOCOLS = {

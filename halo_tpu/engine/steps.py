@@ -171,3 +171,50 @@ def make_eval_step(cfg, model) -> Callable:
         return intersection_and_union(pred, label, num_classes, ignore)
 
     return partial(jax.jit, static_argnames=("flip",))(eval_step)
+
+
+def make_rich_eval_step(cfg, model):
+    """Flip-TTA inference that also returns the artifacts the reference's
+    Test learner can dump/plot: softmax probs, prediction, flip-averaged
+    ball embedding, pixel entropy and hyperbolic radius maps
+    (reference: inference + save_embeddings, train_learners.py:57-92,
+    :598-623, :710-715)."""
+    import math as _math
+
+    from ..ops import hyperbolic as hyp
+    from ..ops.resize import resize_bilinear
+    from ..utils.metrics import intersection_and_union
+
+    forward = make_forward(model)
+    num_classes = cfg.MODEL.NUM_CLASSES
+    ignore = cfg.INPUT.IGNORE_LABEL
+    curvature = float(cfg.MODEL.CURVATURE)
+
+    def rich_eval_step(state: TrainState, img, label, flip=True):
+        variables = state.variables()
+        x = jnp.concatenate([img, img[:, :, ::-1, :]], 0) if flip else img
+        out, embed = forward(variables, x, False, size=None)
+        size = label.shape[1:3]
+        out = resize_bilinear(out.astype(jnp.float32), size)
+        p = jax.nn.softmax(out, axis=-1)
+        n = img.shape[0]
+        if flip:
+            p = (p[:n] + p[n:, :, ::-1, :]) / 2.0
+        pred = jnp.argmax(p, axis=-1)
+        inter, union, target = intersection_and_union(
+            pred, label, num_classes, ignore)
+        results = {"prob": p, "pred": pred, "inter": inter, "union": union,
+                   "target": target,
+                   "entropy": jnp.sum(-p * jnp.log(p + 1e-6), axis=-1)
+                   / _math.log(19.0)}
+        if embed is not None:
+            emb = embed.astype(jnp.float32)
+            if flip:
+                emb = (emb[:n] + emb[n:, :, ::-1, :]) / 2.0
+            results["embed"] = emb
+            results["radius"] = resize_bilinear(
+                hyp.dist0(emb, c=curvature, axis=-1)[..., None],
+                size)[..., 0]
+        return results
+
+    return partial(jax.jit, static_argnames=("flip",))(rich_eval_step)

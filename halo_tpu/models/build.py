@@ -43,6 +43,34 @@ for _rn in ("resnettiny", "resnet50", "resnet101", "resnet152",
             _n, freeze_bn=cfg.MODEL.FREEZE_BN, dtype=dtype))
 
 
+def _make_mit(name):
+    def build(cfg, dtype):
+        from .segformer import MIT_ARCHS, MixVisionTransformer
+        return MixVisionTransformer(dtype=dtype, **MIT_ARCHS[name])
+    return build
+
+
+from .segformer import MIT_ARCHS as _MIT_ARCHS  # noqa: E402
+
+for _mit in _MIT_ARCHS:
+    BACKBONES[_mit] = _make_mit(_mit)
+
+
+@register_head("segformer", False)
+def _sf(cfg, dtype):
+    from .segformer import SegFormerHead
+    return SegFormerHead(num_classes=cfg.MODEL.NUM_CLASSES, dtype=dtype)
+
+
+@register_head("segformer", True)
+def _sfh(cfg, dtype):
+    from .segformer import SegFormerHyperHead
+    return SegFormerHyperHead(
+        num_classes=cfg.MODEL.NUM_CLASSES,
+        reduced_channels=cfg.MODEL.REDUCED_CHANNELS,
+        curvature=cfg.MODEL.CURVATURE, dtype=dtype)
+
+
 @register_head("deeplabv2", False)
 def _v2(cfg, dtype):
     return ASPPv2Head(num_classes=cfg.MODEL.NUM_CLASSES, dtype=dtype)

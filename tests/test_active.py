@@ -197,3 +197,61 @@ def test_selection_exhausts_finite_scores():
         mask_radius=2)
     assert int(res.num_picked) == 1
     assert np.asarray(res.selected).sum() == 9  # one 3x3 region
+
+
+# ---------------------------------------------------------------------------
+# Pallas selection kernel (interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+from halo_tpu.active.selection import pallas_select_pixels_to_label
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_pallas_selection_matches_xla_loop(seed):
+    """The VMEM kernel must reproduce the XLA loop (and therefore the
+    reference semantics) exactly, including tie-breaks and early stop."""
+    rng = np.random.default_rng(seed)
+    H, W, n, r, m = 32, 48, 15, 1, 3
+    score = rng.normal(size=(H, W)).astype(np.float32)
+    gt = rng.integers(0, 19, size=(H, W)).astype(np.int32)
+    active = np.zeros((H, W), bool)
+    active[:6, :6] = True
+    selected = np.zeros((H, W), bool)
+    am = np.full((H, W), 255, np.int32)
+
+    ref = select_pixels_to_label(
+        jnp.asarray(score), jnp.asarray(am), jnp.asarray(gt),
+        jnp.asarray(active), jnp.asarray(selected),
+        num_picks=n, active_radius=r, mask_radius=m)
+    got = pallas_select_pixels_to_label(
+        jnp.asarray(score), jnp.asarray(am), jnp.asarray(gt),
+        jnp.asarray(active), jnp.asarray(selected),
+        num_picks=n, active_radius=r, mask_radius=m, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got.picks),
+                                  np.asarray(ref.picks))
+    np.testing.assert_array_equal(np.asarray(got.active_mask),
+                                  np.asarray(ref.active_mask))
+    np.testing.assert_array_equal(np.asarray(got.selected),
+                                  np.asarray(ref.selected))
+    np.testing.assert_array_equal(np.asarray(got.active),
+                                  np.asarray(ref.active))
+    np.testing.assert_array_equal(np.asarray(got.score),
+                                  np.asarray(ref.score))
+    assert int(got.num_picked) == int(ref.num_picked)
+
+
+def test_pallas_selection_early_stop():
+    H = W = 16
+    score = np.full((H, W), -np.inf, np.float32)
+    score[4, 7] = 2.0
+    score[12, 2] = 1.0
+    got = pallas_select_pixels_to_label(
+        jnp.asarray(score), jnp.full((H, W), 255, jnp.int32),
+        jnp.zeros((H, W), jnp.int32), jnp.zeros((H, W), bool),
+        jnp.zeros((H, W), bool), num_picks=6, active_radius=1,
+        mask_radius=2, interpret=True)
+    assert int(got.num_picked) == 2
+    np.testing.assert_array_equal(np.asarray(got.picks)[:2],
+                                  [[4, 7], [12, 2]])
+    assert (np.asarray(got.picks)[2:] == -1).all()

@@ -130,3 +130,22 @@ def test_validation_and_test_learner(mini_root, tmp_path):
     result = learner.test(max_batches=2)
     assert 0 <= result["mIoU"] <= 100
     assert len(result["iou_class"]) == 19
+
+
+def test_test_learner_save_embed_and_viz(mini_root, tmp_path):
+    """TEST.SAVE_EMBED dumps embed/pred/output; VIZ_WRONG writes panels
+    (reference: train_learners.py:598-623)."""
+    cfg = tiny_cfg(mini_root, tmp_path, "test")
+    cfg.TEST.SAVE_EMBED = True
+    cfg.TEST.VIZ_WRONG = True
+    from halo_tpu.engine import TestLearner
+    learner = TestLearner(cfg)
+    learner.test(max_batches=1)
+    embed_dir = os.path.join(cfg.SAVE_DIR, "embed")
+    files = os.listdir(embed_dir)
+    assert files, "no embed dumps written"
+    import torch
+    blob = torch.load(os.path.join(embed_dir, files[0]), map_location="cpu",
+                      weights_only=True)
+    assert {"label", "pred", "output", "embed"} <= set(blob)
+    assert blob["embed"].shape[-1] == 16  # reduced channels

@@ -1,0 +1,71 @@
+"""SegFormer (MiT) backbone + head tests: stage strides, head contract,
+hyperbolic variant in-ball, B4 depth sanity, and ACDC path construction."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from halo_tpu.config import get_default_cfg
+from halo_tpu.models import build_segmentor
+from halo_tpu.models.segformer import MIT_ARCHS, MixVisionTransformer
+from halo_tpu.ops import hyperbolic as hyp
+
+
+def _cfg(hyper):
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "segformer_mittiny"
+    cfg.MODEL.HYPER = hyper
+    cfg.MODEL.REDUCED_CHANNELS = 16
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def test_mit_stage_pyramid():
+    m = MixVisionTransformer(**MIT_ARCHS["mittiny"])
+    x = jnp.zeros((1, 64, 64, 3))
+    vs = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    f = m.apply(vs, x, train=False)
+    assert f["c1"].shape == (1, 16, 16, 16)   # stride 4
+    assert f["c2"].shape == (1, 8, 8, 32)     # stride 8
+    assert f["c3"].shape == (1, 4, 4, 64)     # stride 16
+    assert f["c4"].shape == (1, 2, 2, 128)    # stride 32
+    assert f["low"].shape == f["c1"].shape
+    assert f["out"].shape == f["c4"].shape
+
+
+@pytest.mark.parametrize("hyper", [False, True])
+def test_segformer_segmentor(hyper):
+    cfg = _cfg(hyper)
+    model = build_segmentor(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    vs = model.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)}, x, train=False)
+    out, aux = model.apply(vs, x, size=(64, 64), train=False)
+    assert out.shape == (1, 64, 64, 19)
+    if hyper:
+        norms = np.linalg.norm(np.asarray(aux), axis=-1)
+        assert norms.max() <= 1.0 - hyp.BALL_EPS + 1e-6
+
+
+def test_b4_arch_depths():
+    """B4 spec from the SegFormer paper: depths (3,8,27,3), dims to 512."""
+    a = MIT_ARCHS["mitb4"]
+    assert tuple(a["depths"]) == (3, 8, 27, 3)
+    assert tuple(a["embed_dims"]) == (64, 128, 320, 512)
+
+
+def test_acdc_path_layout(tmp_path):
+    from halo_tpu.data.acdc import ACDCDataSet
+    lst = tmp_path / "acdc_train_list.txt"
+    lst.write_text("fog/GOPR0475/GOPR0475_frame_000247_rgb_anon.png\n")
+    ds = ACDCDataSet(str(tmp_path / "acdc"), str(lst),
+                     save_dir=str(tmp_path / "save"), split="train")
+    e = ds.data_list[0]
+    assert e["img"].endswith(
+        "acdc/rgb_anon/fog/train/GOPR0475/"
+        "GOPR0475_frame_000247_rgb_anon.png")
+    assert e["label"].endswith(
+        "acdc/gt/fog/train/GOPR0475/GOPR0475_frame_000247_gt_labelIds.png")
+    assert "gtMask/train/" in e["label_mask"]
+    assert e["indicator"].endswith("_indicator.pth")

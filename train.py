@@ -43,6 +43,7 @@ def main():
     print(f"devices: {jax.devices()}\n")
 
     learner = build_learner(cfg)
+    learner.wandb_run = wandb_run
     learner.fit(val_interval=500)
 
     if wandb_run is not None:
