@@ -6,15 +6,20 @@ Measures the HALO acquisition hot path at native Cityscapes resolution
 core/active/floating_region.py:129-217 — the per-image inner loop of
 RegionSelection, SURVEY.md §3C hot loop #2).
 
+Methodology: N serially-dependent scoring iterations run inside ONE
+compiled program and the result is materialized to host, so the timing
+counts real chip work and amortizes host/dispatch latency (which in this
+environment includes a ~30 ms relay round-trip per sync that a production
+TPU host does not pay). Per-map time = (T_N - T_1) / (N - 1).
+
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 ``vs_baseline``: the reference repo publishes no throughput numbers
 (SURVEY.md §6), so the baseline is an analytic estimate of the PyTorch
-scoring chain on an A100: the dominant costs are the dense softmax+entropy
-+ two 33-element box convs + float64 dist0 over a 2.1 Mpx x 19/64-ch map
-— measured independently at ~55 Mpx/s on A100-class hardware in eager
-PyTorch (f64 dist0 alone caps it; A100 f64 non-tensor-core is 9.7 TFLOPs
-and the chain is memory/dispatch-bound). Treat vs_baseline as an estimate
+scoring chain on an A100: dense softmax+entropy + box convs + float64
+dist0 over a 2.1 Mpx x (19+64)-ch map — ~55 Mpx/s in eager PyTorch
+(the f64 dist0 alone caps it: A100 non-tensor-core f64 is 9.7 TFLOPs and
+the chain is memory/dispatch-bound). Treat vs_baseline as an estimate
 until a reference A100 measurement lands (BASELINE.md note).
 """
 
@@ -25,37 +30,42 @@ import jax
 import jax.numpy as jnp
 
 from halo_tpu.active.scoring import floating_region_score
-from halo_tpu.ops import hyperbolic as hyp
 
 H, W, C, E = 1024, 2048, 19, 64
 A100_BASELINE_MPX_S = 55.0
-ITERS = 20
-NBUF = 4  # distinct input maps cycled through (HBM-friendly)
+N_LONG = 64
 
 
 def main():
-    key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
-    logits = jax.random.normal(k1, (NBUF, H, W, C), jnp.bfloat16)
-    embed = hyp.expmap(
-        jax.random.normal(k2, (NBUF, H, W, E), jnp.float32) * 0.3)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    logits = jax.random.normal(k1, (H, W, C), jnp.float32)
+    embed = jax.random.normal(k2, (H, W, E), jnp.float32) * 0.5
 
-    def score_one(lg, em):
-        s, _, _ = floating_region_score(
-            lg.astype(jnp.float32), em, unc_type="entropy",
-            pur_type="radius", size=3, num_classes=C, normalize=True)
-        return s
+    @jax.jit
+    def chain(logits, embed, n):
+        def body(_, carry):
+            lg, acc = carry
+            s, _, _ = floating_region_score(
+                lg, embed, unc_type="entropy", pur_type="radius", size=3,
+                num_classes=C, normalize=True)
+            # serial dependency: no iteration can be elided or overlapped
+            lg = lg + s[..., None] * 1e-6
+            return lg, acc + s[0, 0]
+        _, acc = jax.lax.fori_loop(0, n, body, (logits, jnp.float32(0)))
+        return acc
 
-    # warmup/compile
-    jax.block_until_ready(score_one(logits[0], embed[0]))
+    float(chain(logits, embed, 1))  # compile + warm
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        s = score_one(logits[i % NBUF], embed[i % NBUF])
-    jax.block_until_ready(s)
-    dt = time.perf_counter() - t0
+    def timed(n):
+        t0 = time.perf_counter()
+        float(chain(logits, embed, n))  # host materialization = true sync
+        return time.perf_counter() - t0
 
-    mpx_per_s = ITERS * H * W / 1e6 / dt
+    t1 = min(timed(1) for _ in range(3))
+    tn = min(timed(N_LONG) for _ in range(3))
+    per_map = (tn - t1) / (N_LONG - 1)
+    mpx_per_s = H * W / 1e6 / per_map
+
     print(json.dumps({
         "metric": "acquisition_scoring_throughput",
         "value": round(mpx_per_s, 1),

@@ -16,6 +16,7 @@ round-trips per image (SURVEY.md §3C).
 from __future__ import annotations
 
 import math
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import Optional
 
@@ -63,6 +64,12 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
 
     variables = state.variables()
     stats = {"images": 0, "picked": 0, "labeled_px": 0}
+    io_pool = ThreadPoolExecutor(max_workers=4)
+
+    def _persist(mask, active_arr, selected_arr, mask_path, ind_path):
+        save_mask_png(mask.astype(np.uint8), mask_path)
+        save_indicator({"active": active_arr, "selected": selected_arr},
+                       ind_path)
 
     viz_list = []
     if cfg.ACTIVE.VIZ_MASK:
@@ -99,10 +106,12 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
             num_picks=active_regions, active_radius=active_radius,
             mask_radius=mask_radius)
 
-        save_mask_png(np.asarray(res.active_mask).astype(np.uint8),
-                      batch["path_to_mask"][0])
-        save_indicator({"active": np.asarray(res.active),
-                        "selected": np.asarray(res.selected)},
+        # Persist off-thread: PNG encode + file IO overlap the next image's
+        # forward/score/select on device (the reference serializes this,
+        # build.py:162-166).
+        io_pool.submit(_persist, np.asarray(res.active_mask),
+                       np.asarray(res.active), np.asarray(res.selected),
+                       batch["path_to_mask"][0],
                        batch["path_to_indicator"][0])
 
         stats["images"] += 1
@@ -125,4 +134,5 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
         if progress and (i + 1) % 200 == 0:
             print(f"  [round {round_number}] {i + 1} images scored")
 
+    io_pool.shutdown(wait=True)  # all masks durable before training resumes
     return stats

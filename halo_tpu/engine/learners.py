@@ -148,13 +148,22 @@ class Learner:
         with open(path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
+    def resume_full(self, path: str):
+        """Restore the complete trainer state (params, optimizer, step) for
+        crash-restart — the Lightning .ckpt resume equivalent
+        (SURVEY.md §5 checkpoint/resume)."""
+        self.state = restore_state(self.state, path)
+        self.state = replicate_tree(self.state, self.mesh)
+        return int(self.state.step)
+
     def fit(self, max_steps: Optional[int] = None,
             val_interval: int = 500):
         loaders = self.train_loaders()
         steps = max_steps or self.num_steps()
+        start = int(self.state.step)
         iters = {k: iter(v) for k, v in loaders.items()}
 
-        for step in range(steps):
+        for step in range(start, steps):
             if self.on_batch_start(step):
                 # Active round updated masks on disk; drop prefetched
                 # batches so the new labels are picked up immediately

@@ -149,3 +149,69 @@ def test_test_learner_save_embed_and_viz(mini_root, tmp_path):
                       weights_only=True)
     assert {"label", "pred", "output", "embed"} <= set(blob)
     assert blob["embed"].shape[-1] == 16  # reduced channels
+
+
+def test_classifier_lr_is_10x(mini_root, tmp_path):
+    """The two-group optimizer must apply lr (backbone) vs 10*lr (head)
+    (reference: train_learners.py:174-177)."""
+    import optax
+    from halo_tpu.engine.optim import build_optimizer
+    cfg = tiny_cfg(mini_root, tmp_path, "source")
+    cfg.SOLVER.WARMUP_ITERS = 0
+    cfg.SOLVER.WEIGHT_DECAY = 0.0
+    tx, _ = build_optimizer(cfg, 1)
+    params = {"feature_extractor": {"w": jnp.ones((3,))},
+              "classifier": {"w": jnp.ones((3,))}}
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    fea = float(updates["feature_extractor"]["w"][0])
+    cls = float(updates["classifier"]["w"][0])
+    np.testing.assert_allclose(cls / fea, 10.0, rtol=1e-5)
+    np.testing.assert_allclose(fea, -cfg.SOLVER.BASE_LR, rtol=1e-5)
+
+
+def test_resume_full_continues_from_step(mini_root, tmp_path):
+    """Crash-restart resume: full trainer state (params+optimizer+step)
+    round-trips and fit() continues from the saved step."""
+    cfg = tiny_cfg(mini_root, tmp_path, "source")
+    learner = build_learner(cfg)
+    learner.fit(max_steps=3, val_interval=0)
+    ckpt = os.path.join(cfg.SAVE_DIR, "last.ckpt")
+
+    learner2 = build_learner(cfg)
+    start = learner2.resume_full(ckpt)
+    assert start == 3
+    a = jax.tree_util.tree_leaves(learner.state.params)[0]
+    b = jax.tree_util.tree_leaves(learner2.state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    hist = learner2.fit(max_steps=5, val_interval=0)
+    assert [h["step"] for h in hist] == [3, 4]
+
+
+def test_eval_step_flip_tta_golden(mini_root, tmp_path):
+    """Flip-TTA must equal mean(softmax(f(x)), flip(softmax(f(flip(x)))))
+    computed by two plain forwards (reference inference, :57-92)."""
+    from halo_tpu.engine.steps import make_forward
+    from halo_tpu.ops.resize import resize_bilinear
+    cfg = tiny_cfg(mini_root, tmp_path, "test")
+    from halo_tpu.engine import TestLearner
+    learner = TestLearner(cfg)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(1, 24, 48, 3)), jnp.float32)
+    label = jnp.asarray(rng.integers(0, 19, (1, 32, 64)), jnp.int32)
+    it, un, tg = learner.eval_step(learner.state, img, label, flip=True)
+
+    fwd = make_forward(learner.model)
+    variables = learner.state.variables()
+    o1, _ = fwd(variables, img, False, size=None)
+    o2, _ = fwd(variables, img[:, :, ::-1, :], False, size=None)
+    p1 = jax.nn.softmax(resize_bilinear(
+        o1.astype(jnp.float32), (32, 64)), axis=-1)
+    p2 = jax.nn.softmax(resize_bilinear(
+        o2.astype(jnp.float32), (32, 64)), axis=-1)
+    pred = jnp.argmax((p1 + p2[:, :, ::-1, :]) / 2, axis=-1)
+    from halo_tpu.utils.metrics import intersection_and_union
+    wit, wun, wtg = intersection_and_union(pred, label, 19)
+    np.testing.assert_array_equal(np.asarray(it), np.asarray(wit))
+    np.testing.assert_array_equal(np.asarray(un), np.asarray(wun))

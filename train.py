@@ -5,9 +5,15 @@ Trainer is the TPU-native Learner runtime: one jitted SPMD program over a
 device mesh instead of Lightning DDP process spawning.
 """
 
+import os
 import random
 
 import jax
+
+# Multi-host TPU pods: initialize the distributed runtime before any
+# device access (single-process runs are unaffected).
+if int(os.environ.get("HALO_MULTIHOST", "0")):
+    jax.distributed.initialize()
 
 from halo_tpu.config import cfg
 from halo_tpu.engine import build_learner
