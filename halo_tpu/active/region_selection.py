@@ -7,10 +7,14 @@ region score, mask out already-active pixels, pick
 ceil(H*W*budget_round/(2r+1)^2) regions greedily, and persist the updated
 mask PNG + indicator file that the training dataloaders lazily re-read.
 
-TPU-native structure: scoring + selection compile into two fixed programs
-(one per map shape), so the per-image work is one forward + two compiled
-calls + PNG encode — versus the reference's ~2.3k serial GPU argmax
-round-trips per image (SURVEY.md §3C).
+TPU-native structure versus the reference's ~2.3k serial GPU argmax
+round-trips per image (SURVEY.md §3C):
+  * forwards run TPU.ACTIVE_BATCH images per dispatch (identical masks to
+    the reference's batch=1 sweep, core/train_learners.py:282-289);
+  * scoring + greedy selection are two compiled programs per map shape
+    (the selection loop is a VMEM-resident Pallas kernel on TPU);
+  * mask/indicator PNG encode + file IO run on background threads,
+    overlapped with the next batch's device work.
 """
 
 from __future__ import annotations
@@ -18,13 +22,11 @@ from __future__ import annotations
 import math
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.loader import DataLoader
 from ..data.masks import save_indicator, save_mask_png
 from ..engine.steps import make_forward
 from ..ops.resize import resize_bilinear
@@ -34,7 +36,7 @@ from .selection import pallas_select_pixels_to_label, select_pixels_to_label
 
 def region_selection(cfg, model, state, active_loader, round_number: int,
                      progress: bool = True):
-    """Run one acquisition round over ``active_loader`` (batch size 1)."""
+    """Run one acquisition round over ``active_loader``."""
     per_region_pixels = (2 * cfg.ACTIVE.RADIUS_K + 1) ** 2
     active_radius = cfg.ACTIVE.RADIUS_K
     mask_radius = cfg.ACTIVE.MASK_RADIUS_K
@@ -62,6 +64,11 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
             aux = resize_bilinear(aux.astype(jnp.float32), size)
         return out, aux
 
+    use_pallas = (bool(getattr(cfg.TPU, "PALLAS_SELECTION", True))
+                  and jax.default_backend() == "tpu")
+    select = (pallas_select_pixels_to_label if use_pallas
+              else select_pixels_to_label)
+
     variables = state.variables()
     stats = {"images": 0, "picked": 0, "labeled_px": 0}
     io_pool = ThreadPoolExecutor(max_workers=4)
@@ -77,62 +84,67 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
         viz_list = list(np.random.RandomState(
             max(cfg.SEED, 0) + 1).randint(0, 500, 20))
 
-    for i, batch in enumerate(iter(active_loader)):
-        img = jnp.asarray(batch["img"])
+    def _viz(i, b, batch, imgs, size, score, res):
+        if not (cfg.ACTIVE.VIZ_MASK and i in viz_list):
+            return
+        from ..utils.visualize import denormalize_image, visualization_plots
+        img_native = np.asarray(
+            resize_bilinear(imgs[b].astype(jnp.float32), size))
+        mean = np.asarray(cfg.INPUT.PIXEL_MEAN) * 255.0
+        std = np.asarray(cfg.INPUT.PIXEL_STD) * 255.0
+        visualization_plots(
+            denormalize_image(img_native, mean, std),
+            np.asarray(score), np.asarray(res.active_mask),
+            round_number, batch["name"][b], cfg.SAVE_DIR,
+            uncertainty=unc_type, purity=pur_type)
+
+    img_index = 0
+    for batch in iter(active_loader):
+        # One forward per dispatch covers the whole mini-batch; scoring +
+        # selection then run per image (identical masks to batch=1).
+        imgs = jnp.asarray(batch["img"])
         size = tuple(int(s) for s in batch["size"][0])
-        out, aux = fwd_and_upsample(variables, img, size)
+        out_b, aux_b = fwd_and_upsample(variables, imgs, size)
 
-        gt = jnp.asarray(batch["origin_label"][0])
-        active_mask = jnp.asarray(batch["origin_mask"][0])
-        active = jnp.asarray(batch["active"][0])
-        selected = jnp.asarray(batch["selected"][0])
+        for b in range(imgs.shape[0]):
+            i = img_index
+            img_index += 1
+            gt = jnp.asarray(batch["origin_label"][b])
+            active_mask = jnp.asarray(batch["origin_mask"][b])
+            active = jnp.asarray(batch["active"][b])
+            selected = jnp.asarray(batch["selected"][b])
 
-        score, _, _ = floating_region_score(
-            out[0], aux[0] if aux is not None else None, gt,
-            unc_type=unc_type, pur_type=pur_type,
-            size=2 * active_radius + 1, num_classes=num_classes, K=K,
-            normalize=normalize, c=curvature)
+            score, _, _ = floating_region_score(
+                out_b[b], aux_b[b] if aux_b is not None else None, gt,
+                unc_type=unc_type, pur_type=pur_type,
+                size=2 * active_radius + 1, num_classes=num_classes, K=K,
+                normalize=normalize, c=curvature)
 
-        num_pixels = size[0] * size[1]
-        active_regions = math.ceil(
-            num_pixels * budget_round / per_region_pixels)
+            num_pixels = size[0] * size[1]
+            active_regions = math.ceil(
+                num_pixels * budget_round / per_region_pixels)
 
-        use_pallas = (bool(getattr(cfg.TPU, "PALLAS_SELECTION", True))
-                      and jax.default_backend() == "tpu")
-        select = (pallas_select_pixels_to_label if use_pallas
-                  else select_pixels_to_label)
-        res = select(
-            score, active_mask, gt, active, selected,
-            num_picks=active_regions, active_radius=active_radius,
-            mask_radius=mask_radius)
+            res = select(
+                score, active_mask, gt, active, selected,
+                num_picks=active_regions, active_radius=active_radius,
+                mask_radius=mask_radius)
 
-        # Persist off-thread: PNG encode + file IO overlap the next image's
-        # forward/score/select on device (the reference serializes this,
-        # build.py:162-166).
-        io_pool.submit(_persist, np.asarray(res.active_mask),
-                       np.asarray(res.active), np.asarray(res.selected),
-                       batch["path_to_mask"][0],
-                       batch["path_to_indicator"][0])
+            # Persist off-thread: PNG encode + file IO overlap the next
+            # image's device work (the reference serializes this,
+            # build.py:162-166).
+            io_pool.submit(_persist, np.asarray(res.active_mask),
+                           np.asarray(res.active),
+                           np.asarray(res.selected),
+                           batch["path_to_mask"][b],
+                           batch["path_to_indicator"][b])
 
-        stats["images"] += 1
-        stats["picked"] += int(res.num_picked)
-        stats["labeled_px"] += int(np.asarray(res.selected).sum())
+            stats["images"] += 1
+            stats["picked"] += int(res.num_picked)
+            stats["labeled_px"] += int(np.asarray(res.selected).sum())
 
-        if cfg.ACTIVE.VIZ_MASK and i in viz_list:
-            from ..ops.resize import resize_bilinear as _rb
-            from ..utils.visualize import (denormalize_image,
-                                           visualization_plots)
-            img_native = np.asarray(_rb(img[0].astype(jnp.float32), size))
-            mean = np.asarray(cfg.INPUT.PIXEL_MEAN) * 255.0
-            std = np.asarray(cfg.INPUT.PIXEL_STD) * 255.0
-            visualization_plots(
-                denormalize_image(img_native, mean, std),
-                np.asarray(score), np.asarray(res.active_mask),
-                round_number, batch["name"][0], cfg.SAVE_DIR,
-                uncertainty=unc_type, purity=pur_type)
-
-        if progress and (i + 1) % 200 == 0:
-            print(f"  [round {round_number}] {i + 1} images scored")
+            _viz(i, b, batch, imgs, size, score, res)
+            if progress and (i + 1) % 200 == 0:
+                print(f"  [round {round_number}] {i + 1} images scored")
 
     io_pool.shutdown(wait=True)  # all masks durable before training resumes
     return stats

@@ -19,6 +19,15 @@ Uncertainty types (reference :70-92, :158-163): 'entropy', 'pixel_entropy',
 'hyperbolic'/'certainty' (SURVEY.md §7 bug list) reproduced as 'none'.
 Purity types (:165-198): 'ripu', 'oracle_ripu', 'hyper', 'radius',
 'euc_norm', 'none'.
+
+Why no Pallas kernel here (TPU.PALLAS_SCORING is reserved): measured on
+v5e, this XLA program runs one 1024x2048 map in ~0.98 ms — ~87% of the
+HBM-bandwidth roofline for its ~700 MB of mandatory tensor reads (XLA
+fuses softmax+entropy+dist0 into bandwidth-bound loops already). A
+hand-written kernel could recover at most ~13%, and the natural (H, W, C)
+layout puts C=19 on the 128-lane axis, so a Pallas rewrite would need a
+layout transpose that costs more than it saves. The custom-kernel budget
+went to greedy selection instead (pallas_select.py, ~700x).
 """
 
 from __future__ import annotations

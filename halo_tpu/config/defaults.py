@@ -113,6 +113,10 @@ _C.TPU.PALLAS_SCORING = True
 _C.TPU.PALLAS_SELECTION = True
 # Host data-loader worker threads.
 _C.TPU.LOADER_WORKERS = 4
+# Images per device dispatch during acquisition scoring (the reference
+# sweeps batch=1, core/train_learners.py:282-289; any value yields
+# identical masks).
+_C.TPU.ACTIVE_BATCH = 4
 # Directory with dataset roots (reference hardcodes "datasets"; the catalog
 # also honors the HALO_DATASET_DIR environment variable).
 _C.TPU.DATASET_DIR = "datasets"

@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 import os.path as osp
 import pickle
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 from PIL import Image, ImageFile

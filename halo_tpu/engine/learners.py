@@ -21,7 +21,6 @@ every 500 steps with best-mIoU checkpointing (train.py:109-115,135).
 from __future__ import annotations
 
 import json
-import math
 import os
 import time
 from typing import Dict, List, Optional
@@ -36,8 +35,8 @@ from ..models import build_segmentor
 from ..parallel.mesh import batch_sharding, create_mesh, replicate_tree
 from ..utils.metrics import miou_from_histograms, miou_star
 from .optim import build_optimizer
-from .state import (TrainState, load_module_params, restore_state,
-                    save_checkpoint, state_from_variables)
+from .state import (load_module_params, restore_state, save_checkpoint,
+                    state_from_variables)
 from .steps import make_eval_step, make_train_step
 
 NUM_WORKERS = 4
@@ -77,8 +76,11 @@ class Learner:
                                             "classifier")
         self.state = replicate_tree(self.state, self.mesh)
 
-        self.train_step = jax.jit(make_train_step(cfg, self.model, self.tx,
-                                                  self.protocol))
+        # donate the state: params/momentum update in place (halves the
+        # peak param-memory traffic of the SGD step)
+        self.train_step = jax.jit(
+            make_train_step(cfg, self.model, self.tx, self.protocol),
+            donate_argnums=(0,))
         self.eval_step = make_eval_step(cfg, self.model)
         self.history: List[Dict] = []
         self.best_miou = -1.0
@@ -238,10 +240,10 @@ class _ActiveMixin:
         cfg = self.cfg
         active_set = build_dataset(cfg, mode="active", is_source=False,
                                    epochwise=True)
-        self.active_loader = DataLoader(active_set, batch_size=1,
-                                        shuffle=False,
-                                        num_workers=NUM_WORKERS,
-                                        seed=self.seed)
+        self.active_loader = DataLoader(
+            active_set,
+            batch_size=int(getattr(cfg.TPU, "ACTIVE_BATCH", 1)),
+            shuffle=False, num_workers=NUM_WORKERS, seed=self.seed)
         print(">>>>>>>>>>>>>>>> Init Mask >>>>>>>>>>>>>>>>", flush=True)
         DatasetCatalog.init_mask(cfg)
         self._compute_active_iters()

@@ -17,7 +17,6 @@ core/train_learners.py:167-208) in optax:
 
 from __future__ import annotations
 
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

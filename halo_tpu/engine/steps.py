@@ -23,7 +23,7 @@ same loss, no data-dependent branch, jit-stable.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
@@ -52,8 +52,11 @@ def make_forward(model):
 
 
 def _merge_stats(a: Dict, b: Dict) -> Dict:
-    """Merge batch_stats updates from two forwards (second wins; both see
-    near-identical statistics within a step)."""
+    """Merge batch_stats updates from two forwards. The reference updates
+    running stats sequentially through both forwards (momentum applied
+    twice per step); here the second forward's update wins — both are
+    computed from the same pre-step stats, a sub-momentum-sized difference
+    that only exists for live-BN configs (the shipped recipes freeze BN)."""
     if not a:
         return b
     if not b:
@@ -69,7 +72,6 @@ def make_train_step(cfg, model, tx, protocol: str) -> Callable:
     neg_w = float(cfg.SOLVER.NEGATIVE_LOSS)
     neg_tau = float(cfg.SOLVER.NEGATIVE_THRESHOLD)
     lcr_type = cfg.SOLVER.LCR_TYPE
-    has_live_bn = True  # resolved at init by checking state.batch_stats
 
     def loss_fn(params, state: TrainState, batches, rng):
         variables = {"params": params}

@@ -9,7 +9,7 @@ decorator instead of an if-chain.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

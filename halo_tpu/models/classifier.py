@@ -30,9 +30,10 @@ from flax import linen as nn
 
 from ..ops import hyperbolic as hyp
 from ..ops.resize import resize_bilinear
-from .layers import (ConvBNReLU, DepthwiseSeparableConv, kaiming_normal_fan_in,
-                     make_norm, normal_init, torch_conv_bias_init,
-                     torch_linear_bias_init, torch_linear_kernel_init)
+from .layers import (ConvBNReLU, DepthwiseSeparableConv,
+                     kaiming_normal_fan_in, normal_init,
+                     torch_conv_bias_init, torch_linear_bias_init,
+                     torch_linear_kernel_init)
 
 
 class HyperMLRHead(nn.Module):

@@ -14,7 +14,7 @@ TPU notes:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Sequence
 
 from flax import linen as nn
 

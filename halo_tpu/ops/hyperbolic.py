@@ -19,7 +19,6 @@ manifold is the Poincare ball of radius 1/sqrt(c) (geoopt's ``k = -c``).
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

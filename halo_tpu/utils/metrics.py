@@ -9,8 +9,6 @@ all_gather-then-sum, core/train_learners.py:130-165).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
