@@ -25,11 +25,12 @@ def make_dataset(root: pathlib.Path, rng):
             lab_p = cs / "gtFine" / split / f"{stem}_gtFine_labelIds.png"
             img_p.parent.mkdir(parents=True, exist_ok=True)
             lab_p.parent.mkdir(parents=True, exist_ok=True)
-            # structured image so labels are learnable from pixels
+            # structured, MIRROR-SYMMETRIC image (eval uses flip-TTA) so
+            # labels are learnable from pixels
             ids = np.zeros((64, 128), np.uint8)
-            ids[:, :40] = 7          # road
-            ids[:32, 40:] = 23       # sky
-            ids[32:, 40:] = 26       # car
+            ids[:, :] = 7            # road
+            ids[:32, 32:96] = 23     # sky band (centered)
+            ids[32:, 32:96] = 26     # car band (centered)
             img = np.stack([ids * 3, 255 - ids * 2, ids], -1).astype(np.uint8)
             img = img + rng.integers(0, 20, img.shape).astype(np.uint8)
             Image.fromarray(img).save(img_p)
@@ -61,7 +62,7 @@ def main():
     cfg.TPU.DATASET_DIR = str(tmp / "datasets")
     cfg.SOLVER.NUM_ITER = steps
     cfg.SOLVER.BATCH_SIZE = 3
-    cfg.SOLVER.BASE_LR = 0.02
+    cfg.SOLVER.BASE_LR = 0.004  # head group runs at 10x
     cfg.SOLVER.WARMUP_ITERS = 0
     cfg.TPU.COMPUTE_DTYPE = "float32"
     cfg.TPU.DATA_PARALLEL = 1
@@ -71,12 +72,15 @@ def main():
     cfg.SAVE_DIR = str(tmp / "out" / "overfit")
     cfg.SEED = 0
 
+    from halo_tpu.data import DatasetCatalog
+    DatasetCatalog.init_mask(cfg)  # cityscapes-as-source reads mask PNGs
     learner = build_learner(cfg)
     miou0 = learner.validate(max_batches=3)
     learner.fit(max_steps=steps, val_interval=0)
     miou1 = learner.validate(max_batches=3)
     print(f"mIoU before {miou0:.1f} -> after {miou1:.1f} ({steps} steps)")
-    assert miou1 > 60, "training failed to overfit the synthetic set"
+    # only 3 of 19 classes exist, so a perfect fit scores 3/19 = 15.8 mIoU
+    assert miou1 > 12, "training failed to overfit the synthetic set"
     print("OK: end-to-end learning verified")
 
 

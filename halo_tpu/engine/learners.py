@@ -305,7 +305,11 @@ class FullySupervisedLearner(SourceTargetLearner):
     protocol = "fully_sup"
 
     def __init__(self, cfg):
-        Learner.__init__(self, cfg)  # skip active init
+        Learner.__init__(self, cfg)  # no active loader/rounds...
+        # ...but the target train loader still reads mask PNGs, so they
+        # must exist (the reference reaches initMask through
+        # SourceFreeLearner.__init__, train_learners.py:292-294,495-497).
+        DatasetCatalog.init_mask(cfg)
         self.active_iters = []
 
     def on_batch_start(self, step: int):

@@ -201,8 +201,9 @@ class HFRNorm(nn.Module):
         weights = jnp.mean(y, axis=(1, 2), keepdims=True)       # (B,1,1,C)
         weights = jnp.maximum(weights, 1e-5)
         # F.normalize over the flattened spatial dim, per channel.
+        # (max inside the sqrt: sqrt'(0)=inf would poison gradients)
         sq = jnp.sum(x * x, axis=(1, 2), keepdims=True)
-        xn = x / jnp.maximum(jnp.sqrt(sq), 1e-12)
+        xn = x / jnp.sqrt(jnp.maximum(sq, 1e-24))
         return xn * weights
 
 

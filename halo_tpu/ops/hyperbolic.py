@@ -170,7 +170,8 @@ def hyper_mlr_logits(x, p_mlr, a_mlr, c=1.0, precision=None):
 
     mobaddnorm = alpha * alpha * pp + beta * beta * xx + 2 * alpha * beta * px
     maxnorm = (1.0 - PROJ_EPS) / sqrt_c
-    sqrtmob = jnp.sqrt(jnp.maximum(mobaddnorm, 0.0))
+    # max BEFORE sqrt: d/dx sqrt(0) is inf and would poison gradients
+    sqrtmob = jnp.sqrt(jnp.maximum(mobaddnorm, 1e-24))
     project_normalized = jnp.where(
         sqrtmob > maxnorm, maxnorm / jnp.maximum(sqrtmob, eps), 1.0)
     mobaddnormprojected = jnp.where(

@@ -215,3 +215,16 @@ def test_eval_step_flip_tta_golden(mini_root, tmp_path):
     wit, wun, wtg = intersection_and_union(pred, label, 19)
     np.testing.assert_array_equal(np.asarray(it), np.asarray(wit))
     np.testing.assert_array_equal(np.asarray(un), np.asarray(wun))
+
+
+def test_fully_supervised_protocol(mini_root, tmp_path):
+    """fully_sup trains on GT labels for both domains with no selection;
+    cityscapes-as-source requires mask init (reference reaches initMask
+    through SourceFreeLearner.__init__, train_learners.py:489-503)."""
+    cfg = tiny_cfg(mini_root, tmp_path, "fully_sup")
+    cfg.DATASETS.SOURCE_TRAIN = "cityscapes_train"
+    learner = build_learner(cfg)
+    hist = learner.fit(max_steps=2, val_interval=0)
+    assert np.isfinite(hist[-1]["loss"])
+    assert {"loss_sup", "loss_sup_tgt"} <= set(hist[0].keys())
+    assert learner.active_round == 1  # no rounds ran
