@@ -228,3 +228,27 @@ def test_fully_supervised_protocol(mini_root, tmp_path):
     assert np.isfinite(hist[-1]["loss"])
     assert {"loss_sup", "loss_sup_tgt"} <= set(hist[0].keys())
     assert learner.active_round == 1  # no rounds ran
+
+
+def test_active_batch_invariance(mini_root, tmp_path):
+    """TPU.ACTIVE_BATCH must not change the acquisition masks: batched
+    forwards produce per-image scores identical to the batch=1 sweep."""
+    from halo_tpu.data.masks import load_mask_png
+
+    masks = {}
+    for ab in (1, 3):
+        cfg = tiny_cfg(mini_root, tmp_path, "source_target")
+        cfg.OUTPUT_DIR = str(tmp_path / f"out_ab{ab}")
+        cfg.SAVE_DIR = str(tmp_path / f"out_ab{ab}" / "t")
+        cfg.TPU.ACTIVE_BATCH = ab
+        learner = build_learner(cfg)
+        learner.fit(max_steps=2, val_interval=0)
+        got = {}
+        mask_dir = os.path.join(cfg.SAVE_DIR, "gtMask/train")
+        for root, _dirs, files in os.walk(mask_dir):
+            for f in files:
+                got[f] = load_mask_png(os.path.join(root, f))
+        masks[ab] = got
+    assert masks[1].keys() == masks[3].keys()
+    for k in masks[1]:
+        np.testing.assert_array_equal(masks[1][k], masks[3][k])
