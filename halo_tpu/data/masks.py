@@ -34,8 +34,14 @@ def mkdir_path(path: str):
 
 
 def save_mask_png(mask: np.ndarray, path: str):
+    """Atomic write (tmp + rename): training dataloaders re-read these
+    PNGs lazily from other threads/processes, and the reference's direct
+    save (build.py:162-164) can expose a torn file to a concurrent read —
+    the one real race in the mask side-channel (SURVEY.md §5)."""
     mkdir_path(os.path.dirname(path))
-    Image.fromarray(np.asarray(mask, np.uint8)).save(path)
+    tmp = path + ".tmp"
+    Image.fromarray(np.asarray(mask, np.uint8)).save(tmp, format="PNG")
+    os.replace(tmp, path)
 
 
 def load_mask_png(path: str) -> np.ndarray:
@@ -45,8 +51,10 @@ def load_mask_png(path: str) -> np.ndarray:
 def save_indicator(indicator: Dict[str, np.ndarray], path: str):
     mkdir_path(os.path.dirname(path))
     if torch is not None and path.endswith(".pth"):
-        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
-                    for k, v in indicator.items()}, path)
+        tmp = path + ".tmp"
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v).copy())
+                    for k, v in indicator.items()}, tmp)
+        os.replace(tmp, path)
     else:
         np.savez_compressed(path if path.endswith(".npz") else path + ".npz",
                             **indicator)
