@@ -190,6 +190,29 @@ def hyper_mlr_logits(x, p_mlr, a_mlr, c=1.0, precision=None):
     return (2.0 / sqrt_c) * a_norm * jnp.arcsinh(sineterm)
 
 
+def embedding_metrics(x, y, c=1.0, axis=-1):
+    """Euclidean + hyperbolic comparison metrics for two embedding batches
+    (reference: HyperMetrics.compute, core/utils/hyperbolic.py:191-228;
+    analysis-only utility, unused by the training path).
+
+    Returns dict with mse, cosine_dist, radius_x/y (ball norms), ang_e
+    (degrees between projected embeddings), poincare_dist.
+    """
+    mse = jnp.mean((x - y) ** 2)
+    cos = cosine_distance(x, y, axis=axis)
+    x_h = expmap(x, c=c, axis=axis)
+    y_h = expmap(y, c=c, axis=axis)
+    radius_x = _safe_norm(x_h, axis=axis, keepdims=False)
+    radius_y = _safe_norm(y_h, axis=axis, keepdims=False)
+    xn = x_h / jnp.expand_dims(radius_x, axis)
+    yn = y_h / jnp.expand_dims(radius_y, axis)
+    cosang = jnp.clip(jnp.sum(xn * yn, axis=axis), -1.0, 1.0)
+    ang_e = jnp.arccos(cosang) * (180.0 / math.pi)
+    return {"mse": mse, "cosine_dist": cos, "radius_x": radius_x,
+            "radius_y": radius_y, "ang_e": ang_e,
+            "poincare_dist": dist(x_h, y_h, c=c, axis=axis)}
+
+
 def init_mlr_params(key, num_classes, channels, dtype=jnp.float32):
     """Kaiming-uniform init matching torch.nn.init.kaiming_uniform_(a=sqrt(5))
     on an (O, C) matrix: bound = 1/sqrt(fan_in) with fan_in = C

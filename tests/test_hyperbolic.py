@@ -171,3 +171,20 @@ def test_mlr_init_bounds():
     assert np.abs(np.asarray(p)).max() <= bound
     assert np.abs(np.asarray(a)).max() <= bound
     assert np.asarray(p).std() > 0.3 * bound  # actually random
+
+
+def test_embedding_metrics():
+    """HyperMetrics-equivalent analysis utility (reference
+    hyperbolic.py:191-228): identical inputs give zero distances."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(16, 8)) * 0.4)
+    m = hyp.embedding_metrics(x, x)
+    np.testing.assert_allclose(float(m["mse"]), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(m["cosine_dist"]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m["poincare_dist"]), 0.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m["ang_e"]), 0.0, atol=1e-2)
+    y = jnp.asarray(rng.normal(size=(16, 8)) * 0.4)
+    m2 = hyp.embedding_metrics(x, y)
+    assert float(m2["mse"]) > 0
+    assert np.asarray(m2["poincare_dist"]).shape == (16,)
