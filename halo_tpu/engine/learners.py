@@ -165,7 +165,31 @@ class Learner:
         start = int(self.state.step)
         iters = {k: iter(v) for k, v in loaders.items()}
 
+        # Preemption handling (SURVEY.md §5: the reference has none): on
+        # SIGTERM/SIGINT finish the current step, checkpoint, and exit so
+        # `resume_full(preempt.ckpt)` continues exactly where we stopped.
+        preempted = {"flag": False}
+
+        def _on_signal(signum, _frame):
+            print(f"signal {signum}: checkpointing for preemption...",
+                  flush=True)
+            preempted["flag"] = True
+
+        import signal
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:  # non-main thread (tests)
+                pass
+
         for step in range(start, steps):
+            if preempted["flag"]:
+                save_checkpoint(self.state,
+                                os.path.join(self.cfg.SAVE_DIR,
+                                             "preempt.ckpt"))
+                print(f"preempted at step {step}; state saved", flush=True)
+                break
             if self.on_batch_start(step):
                 # Active round updated masks on disk; drop prefetched
                 # batches so the new labels are picked up immediately
@@ -196,6 +220,9 @@ class Learner:
 
         save_checkpoint(self.state,
                         os.path.join(self.cfg.SAVE_DIR, "last.ckpt"))
+        for sig, handler in old_handlers.items():
+            import signal as _signal
+            _signal.signal(sig, handler)
         return self.history
 
     def validate(self, loader: Optional[DataLoader] = None,

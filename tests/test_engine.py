@@ -252,3 +252,26 @@ def test_active_batch_invariance(mini_root, tmp_path):
     assert masks[1].keys() == masks[3].keys()
     for k in masks[1]:
         np.testing.assert_array_equal(masks[1][k], masks[3][k])
+
+
+def test_preemption_checkpoint(mini_root, tmp_path):
+    """SIGTERM-equivalent preemption: the loop checkpoints and stops; a
+    fresh learner resumes from the preempt checkpoint."""
+    cfg = tiny_cfg(mini_root, tmp_path, "source")
+    learner = build_learner(cfg)
+
+    orig = learner.on_batch_start
+
+    def trip(step):
+        if step == 2:
+            # emulate the signal handler firing mid-training
+            import halo_tpu.engine.learners as L
+            os.kill(os.getpid(), __import__("signal").SIGTERM)
+        return orig(step)
+
+    learner.on_batch_start = trip
+    learner.fit(max_steps=6, val_interval=0)
+    p = os.path.join(cfg.SAVE_DIR, "preempt.ckpt")
+    assert os.path.exists(p)
+    learner2 = build_learner(cfg)
+    assert learner2.resume_full(p) == 3  # step 2 completes, then ckpt
