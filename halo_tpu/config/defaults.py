@@ -113,6 +113,9 @@ _C.TPU.PALLAS_SCORING = True
 _C.TPU.PALLAS_SELECTION = True
 # Host data-loader worker threads.
 _C.TPU.LOADER_WORKERS = 4
+# Rematerialize backbone blocks in backward (more FLOPs, much less
+# activation memory -> larger per-chip batches).
+_C.TPU.REMAT = False
 # Images per device dispatch during acquisition scoring (the reference
 # sweeps batch=1, core/train_learners.py:282-289; any value yields
 # identical masks).

@@ -40,7 +40,8 @@ for _rn in ("resnettiny", "resnet50", "resnet101", "resnet152",
             "resnext50_32x4d", "resnext101_32x8d"):
     BACKBONES[_rn] = (
         lambda cfg, dtype, _n=_rn: resnet_feature_extractor(
-            _n, freeze_bn=cfg.MODEL.FREEZE_BN, dtype=dtype))
+            _n, freeze_bn=cfg.MODEL.FREEZE_BN, dtype=dtype,
+            remat=bool(getattr(cfg.TPU, "REMAT", False))))
 
 
 def _make_mit(name):
