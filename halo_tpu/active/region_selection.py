@@ -54,15 +54,25 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
 
     forward = make_forward(model)
 
-    @partial(jax.jit, static_argnums=(2,))
-    def fwd_and_upsample(variables, img, size):
-        # eval forward with head upsampling to the input size, then bilinear
-        # to native resolution (reference: build.py:110-135)
+    @partial(jax.jit, static_argnums=(3,))
+    def fwd_and_score(variables, img, gt_b, size):
+        """Forward + native-res upsample + per-image region score in ONE
+        program: the (H, W, 19+64) native-res maps never round-trip to
+        HBM between dispatches (reference splits these steps,
+        build.py:110-144)."""
         out, aux = forward(variables, img, False)
         out = resize_bilinear(out.astype(jnp.float32), size)
         if needs_embed and aux is not None:
             aux = resize_bilinear(aux.astype(jnp.float32), size)
-        return out, aux
+        scores = []
+        for b in range(img.shape[0]):  # unrolled at trace time
+            s_b, _, _ = floating_region_score(
+                out[b], aux[b] if aux is not None else None, gt_b[b],
+                unc_type=unc_type, pur_type=pur_type,
+                size=2 * active_radius + 1, num_classes=num_classes, K=K,
+                normalize=normalize, c=curvature)
+            scores.append(s_b)
+        return jnp.stack(scores)
 
     use_pallas = (bool(getattr(cfg.TPU, "PALLAS_SELECTION", True))
                   and jax.default_backend() == "tpu")
@@ -104,21 +114,17 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
         # selection then run per image (identical masks to batch=1).
         imgs = jnp.asarray(batch["img"])
         size = tuple(int(s) for s in batch["size"][0])
-        out_b, aux_b = fwd_and_upsample(variables, imgs, size)
+        gt_b = jnp.asarray(batch["origin_label"])
+        scores = fwd_and_score(variables, imgs, gt_b, size)
 
         for b in range(imgs.shape[0]):
             i = img_index
             img_index += 1
-            gt = jnp.asarray(batch["origin_label"][b])
+            gt = gt_b[b]
             active_mask = jnp.asarray(batch["origin_mask"][b])
             active = jnp.asarray(batch["active"][b])
             selected = jnp.asarray(batch["selected"][b])
-
-            score, _, _ = floating_region_score(
-                out_b[b], aux_b[b] if aux_b is not None else None, gt,
-                unc_type=unc_type, pur_type=pur_type,
-                size=2 * active_radius + 1, num_classes=num_classes, K=K,
-                normalize=normalize, c=curvature)
+            score = scores[b]
 
             num_pixels = size[0] * size[1]
             active_regions = math.ceil(
