@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data import mask_cache
 from ..data.masks import save_indicator, save_mask_png
 from ..engine.steps import make_forward
 from ..ops.resize import resize_bilinear
@@ -135,18 +136,24 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
                 num_picks=active_regions, active_radius=active_radius,
                 mask_radius=mask_radius)
 
-            # Persist off-thread: PNG encode + file IO overlap the next
+            # Publish in-process immediately (single-host fast path), then
+            # persist off-thread: PNG encode + file IO overlap the next
             # image's device work (the reference serializes this,
             # build.py:162-166).
-            io_pool.submit(_persist, np.asarray(res.active_mask),
-                           np.asarray(res.active),
-                           np.asarray(res.selected),
+            mask_np = np.asarray(res.active_mask).astype(np.uint8)
+            active_np = np.asarray(res.active)
+            selected_np = np.asarray(res.selected)
+            mask_cache.put_mask(batch["path_to_mask"][b], mask_np)
+            mask_cache.put_indicator(batch["path_to_indicator"][b],
+                                     {"active": active_np,
+                                      "selected": selected_np})
+            io_pool.submit(_persist, mask_np, active_np, selected_np,
                            batch["path_to_mask"][b],
                            batch["path_to_indicator"][b])
 
             stats["images"] += 1
             stats["picked"] += int(res.num_picked)
-            stats["labeled_px"] += int(np.asarray(res.selected).sum())
+            stats["labeled_px"] += int(selected_np.sum())
 
             _viz(i, b, batch, imgs, size, score, res)
             if progress and (i + 1) % 200 == 0:

@@ -113,6 +113,9 @@ _C.TPU.PALLAS_SCORING = True
 _C.TPU.PALLAS_SELECTION = True
 # Host data-loader worker threads.
 _C.TPU.LOADER_WORKERS = 4
+# Input pipeline backend: "threads" (built-in prefetching loader) or
+# "grain" (multiprocess Grain DataLoader; identical sample streams).
+_C.TPU.LOADER = "threads"
 # Rematerialize backbone blocks in backward (more FLOPs, much less
 # activation memory -> larger per-chip batches).
 _C.TPU.REMAT = False

@@ -224,9 +224,15 @@ class CityscapesDataSet:
         image = Image.open(files["img"]).convert("RGB")
         label = np.asarray(Image.open(files["label"]), dtype=np.uint8)
         if self.split == "train":
-            # Lazy mask re-read every access = the mask broadcast channel.
-            label_mask = np.asarray(Image.open(files["label_mask"]),
-                                    dtype=np.uint8)
+            # Single-host fast path: the acquisition round publishes fresh
+            # masks in-process (mask_cache); fall back to the lazy PNG
+            # re-read — the reference's mask broadcast channel
+            # (cityscapes.py:232-234) and the multi-host path.
+            from .mask_cache import get_mask
+            label_mask = get_mask(files["label_mask"])
+            if label_mask is None:
+                label_mask = np.asarray(Image.open(files["label_mask"]),
+                                        dtype=np.uint8)
         else:
             label_mask = np.full_like(label, 255)
 
@@ -235,7 +241,10 @@ class CityscapesDataSet:
         active_indicator = np.zeros((1,), bool)
         active_selected = np.zeros((1,), bool)
         if self.active:
-            ind = load_indicator(files["indicator"])
+            from .mask_cache import get_indicator
+            ind = get_indicator(files["indicator"])
+            if ind is None:
+                ind = load_indicator(files["indicator"])
             active_indicator = ind["active"]
             active_selected = ind["selected"]
             if active_indicator.shape == (1,):  # first-time init

@@ -101,13 +101,20 @@ class Learner:
                           shuffle=False, num_workers=NUM_WORKERS,
                           seed=self.seed)
 
+    def _loader_cls(self):
+        if str(getattr(self.cfg.TPU, "LOADER", "threads")) == "grain":
+            from ..data.grain_loader import GrainLoader
+            return GrainLoader
+        return DataLoader
+
     def _loader(self, mode, is_source, batch_size, shuffle=True,
                 epochwise=False, drop_last=True):
         ds = build_dataset(self.cfg, mode=mode, is_source=is_source,
                            epochwise=epochwise)
-        return DataLoader(ds, batch_size=batch_size, shuffle=shuffle,
-                          num_workers=NUM_WORKERS, seed=self.seed,
-                          drop_last=drop_last)
+        workers = int(getattr(self.cfg.TPU, "LOADER_WORKERS", NUM_WORKERS))
+        return self._loader_cls()(
+            ds, batch_size=batch_size, shuffle=shuffle,
+            num_workers=workers, seed=self.seed, drop_last=drop_last)
 
     # ------------------------------------------------------------------
     # loops

@@ -118,3 +118,32 @@ def test_random_scale_crop_alignment(mini_root, tmp_path):
     np.testing.assert_allclose(s["img"], s2["img"])
     np.testing.assert_array_equal(s["label"], s2["label"])
     assert s["img"].shape == (24, 48, 3)
+
+
+def test_mask_cache_write_through(mini_root, tmp_path):
+    """The in-process mask cache serves fresh masks before the async file
+    write lands, and falls back to disk on miss."""
+    from halo_tpu.data import mask_cache
+    from halo_tpu.data.masks import save_mask_png
+
+    mask_cache.clear()
+    cfg = make_mini_cfg(mini_root, tmp_path)
+    DatasetCatalog.init_mask(cfg, workers=2)
+    ds = build_dataset(cfg, mode="train", is_source=False, epochwise=True)
+    path = ds.data_list[0]["label_mask"]
+
+    # disk says 255 everywhere
+    s0 = ds[0]
+    assert (s0["mask"] == 255).all()
+
+    # publish a fresh mask in-process only (no file write)
+    fresh = np.full((32, 64), 255, np.uint8)
+    fresh[4:7, 8:11] = 3
+    mask_cache.put_mask(path, fresh)
+    s1 = ds[0]
+    assert (s1["origin_mask"] == fresh).all()
+
+    # cache cleared -> falls back to the (unchanged) file
+    mask_cache.clear()
+    s2 = ds[0]
+    assert (s2["mask"] == 255).all()

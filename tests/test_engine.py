@@ -275,3 +275,15 @@ def test_preemption_checkpoint(mini_root, tmp_path):
     assert os.path.exists(p)
     learner2 = build_learner(cfg)
     assert learner2.resume_full(p) == 3  # step 2 completes, then ckpt
+
+
+def test_grain_backend_trains(mini_root, tmp_path):
+    """TPU.LOADER='grain' runs the training loop through the Grain input
+    pipeline (multiprocess-capable) with identical semantics."""
+    pytest.importorskip("grain.python")
+    cfg = tiny_cfg(mini_root, tmp_path, "source")
+    cfg.TPU.LOADER = "grain"
+    cfg.TPU.LOADER_WORKERS = 0  # in-process for CI speed
+    learner = build_learner(cfg)
+    hist = learner.fit(max_steps=2, val_interval=0)
+    assert np.isfinite(hist[-1]["loss"])
