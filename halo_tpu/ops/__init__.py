@@ -1,0 +1,2 @@
+from . import hyperbolic
+from .resize import resize_bilinear, resize_nearest
