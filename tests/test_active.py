@@ -255,3 +255,63 @@ def test_pallas_selection_early_stop():
     np.testing.assert_array_equal(np.asarray(got.picks)[:2],
                                   [[4, 7], [12, 2]])
     assert (np.asarray(got.picks)[2:] == -1).all()
+
+
+def test_oracle_uncertainty_and_purity():
+    """oracle_acc: box-filtered (1 - p_true); oracle_ripu: GT-based
+    impurity with 255s replaced by the prediction (reference
+    floating_region.py:77-83, 170-175)."""
+    rng = np.random.default_rng(6)
+    H, W, C = 12, 14, 5
+    logits = rng.normal(size=(H, W, C)).astype(np.float32)
+    gt = rng.integers(0, C, size=(H, W)).astype(np.int32)
+    gt[0, :3] = 255
+    p = np_softmax(logits.astype(np.float64))
+    pred = p.argmax(-1)
+    gtc = np.where(gt == 255, pred, gt)
+
+    score, imp, unc = floating_region_score(
+        jnp.asarray(logits), None, jnp.asarray(gt),
+        unc_type="oracle_acc", pur_type="oracle_ripu", size=3,
+        num_classes=C, normalize=False)
+
+    p_true = np.take_along_axis(p, gtc[..., None], axis=-1)[..., 0]
+    went = np_box_filter(1.0 - p_true, 3)
+    onehot = np.eye(C)[gtc]
+    summary = np_box_filter(onehot, 3)
+    cnt = summary.sum(-1)
+    dist = summary / cnt[..., None]
+    wimp = (-dist * np.log(dist + 1e-6)).sum(-1) / math.log(C)
+    np.testing.assert_allclose(np.asarray(unc), went / cnt, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(imp), wimp, rtol=1e-4, atol=1e-5)
+
+
+def test_multi_round_accumulation():
+    """Round 2 must not re-select round-1 regions: the -inf masking of the
+    carried ``active`` indicator excludes them (reference build.py:146),
+    and selected pixels accumulate."""
+    rng = np.random.default_rng(7)
+    H, W = 40, 60
+    gt = rng.integers(0, 19, size=(H, W)).astype(np.int32)
+    am = jnp.full((H, W), 255, jnp.int32)
+    act = jnp.zeros((H, W), bool)
+    sel = jnp.zeros((H, W), bool)
+
+    s1 = jnp.asarray(rng.normal(size=(H, W)).astype(np.float32))
+    r1 = select_pixels_to_label(s1, am, jnp.asarray(gt), act, sel,
+                                num_picks=8, active_radius=1, mask_radius=3)
+    s2 = jnp.asarray(rng.normal(size=(H, W)).astype(np.float32))
+    r2 = select_pixels_to_label(s2, r1.active_mask, jnp.asarray(gt),
+                                r1.active, r1.selected,
+                                num_picks=8, active_radius=1, mask_radius=3)
+    a1 = np.asarray(r1.active)
+    picks2 = np.asarray(r2.picks)
+    for hh, ww in picks2:
+        assert not a1[hh, ww], "round-2 pick landed in round-1 active area"
+    assert np.asarray(r2.selected).sum() > np.asarray(r1.selected).sum()
+    # round-1 labels survive round 2
+    m1 = np.asarray(r1.active_mask)
+    m2 = np.asarray(r2.active_mask)
+    keep = np.asarray(r1.selected)
+    np.testing.assert_array_equal(m2[keep], m1[keep])
