@@ -51,8 +51,14 @@ class Learner:
         self.cfg = cfg
         self.debug = bool(cfg.DEBUG)
         self.model = build_segmentor(cfg)
+        dp = int(getattr(cfg.TPU, "DATA_PARALLEL", -1))
+        if dp == -1 and cfg.SOLVER.GPUS:
+            # Drop-in reference semantics: SOLVER.GPUS lists the data-
+            # parallel devices (train.py:124); cap by what exists. Set
+            # TPU.DATA_PARALLEL explicitly to override.
+            dp = min(len(cfg.SOLVER.GPUS), len(jax.devices()))
         self.mesh = create_mesh(
-            data_parallel=int(getattr(cfg.TPU, "DATA_PARALLEL", -1)),
+            data_parallel=dp,
             spatial_parallel=int(getattr(cfg.TPU, "SPATIAL_PARALLEL", 1)))
         self.num_devices = self.mesh.shape["data"]
         self.tx, self.schedules = build_optimizer(cfg, self.num_devices)

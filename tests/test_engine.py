@@ -287,3 +287,15 @@ def test_grain_backend_trains(mini_root, tmp_path):
     learner = build_learner(cfg)
     hist = learner.fit(max_steps=2, val_interval=0)
     assert np.isfinite(hist[-1]["loss"])
+
+
+def test_solver_gpus_sets_mesh_size(mini_root, tmp_path):
+    """Reference configs list data-parallel devices in SOLVER.GPUS
+    (train.py:124); with TPU.DATA_PARALLEL unset (-1) the mesh honors it."""
+    cfg = tiny_cfg(mini_root, tmp_path, "source")
+    cfg.TPU.DATA_PARALLEL = -1
+    cfg.SOLVER.GPUS = [0, 1, 2, 3]
+    cfg.SOLVER.BATCH_SIZE = 1
+    learner = build_learner(cfg)
+    assert learner.num_devices == 4
+    assert learner.num_steps() == cfg.SOLVER.NUM_ITER // 4
