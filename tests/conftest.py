@@ -26,10 +26,14 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 
-import numpy as np
 import pickle
+
+import numpy as np
 import pytest
 from PIL import Image
+
+from halo_tpu.config import get_default_cfg
+from halo_tpu.data.datasets import ID_TO_TRAINID_19
 
 
 @pytest.fixture()
@@ -96,7 +100,3 @@ def make_mini_cfg(root, tmp_path):
     return cfg
 
 
-
-
-from halo_tpu.config import get_default_cfg
-from halo_tpu.data.datasets import ID_TO_TRAINID_19
