@@ -1,4 +1,10 @@
 """Train-step throughput at production shapes on one v5e chip."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 import jax, jax.numpy as jnp, numpy as np
 from halo_tpu.config import get_default_cfg

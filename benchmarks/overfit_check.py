@@ -5,6 +5,12 @@ manually or via the driver to sanity-check the full loop.
 Usage: python benchmarks/overfit_check.py [steps]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import pathlib
 import sys
 import tempfile
