@@ -136,13 +136,16 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
                 num_picks=active_regions, active_radius=active_radius,
                 mask_radius=mask_radius)
 
-            # Publish in-process immediately (single-host fast path), then
-            # persist off-thread: PNG encode + file IO overlap the next
-            # image's device work (the reference serializes this,
-            # build.py:162-166).
-            mask_np = np.asarray(res.active_mask).astype(np.uint8)
-            active_np = np.asarray(res.active)
-            selected_np = np.asarray(res.selected)
+            # ONE device->host transfer for all outputs (each np.asarray
+            # would be its own blocking sync; at 2975 images/round the
+            # extra round-trips dominate). Publish in-process immediately
+            # (single-host fast path), then persist off-thread so PNG
+            # encode + file IO overlap the next image's device work (the
+            # reference serializes all of this, build.py:162-166).
+            mask_np, active_np, selected_np, n_picked = jax.device_get(
+                (res.active_mask, res.active, res.selected,
+                 res.num_picked))
+            mask_np = mask_np.astype(np.uint8)
             mask_cache.put_mask(batch["path_to_mask"][b], mask_np)
             mask_cache.put_indicator(batch["path_to_indicator"][b],
                                      {"active": active_np,
@@ -152,7 +155,7 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
                            batch["path_to_indicator"][b])
 
             stats["images"] += 1
-            stats["picked"] += int(res.num_picked)
+            stats["picked"] += int(n_picked)
             stats["labeled_px"] += int(selected_np.sum())
 
             _viz(i, b, batch, imgs, size, score, res)
