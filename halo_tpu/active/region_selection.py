@@ -7,12 +7,22 @@ region score, mask out already-active pixels, pick
 ceil(H*W*budget_round/(2r+1)^2) regions greedily, and persist the updated
 mask PNG + indicator file that the training dataloaders lazily re-read.
 
-TPU-native structure versus the reference's ~2.3k serial GPU argmax
-round-trips per image (SURVEY.md §3C):
-  * forwards run TPU.ACTIVE_BATCH images per dispatch (identical masks to
-    the reference's batch=1 sweep, core/train_learners.py:282-289);
-  * scoring + greedy selection are two compiled programs per map shape
-    (the selection loop is a VMEM-resident Pallas kernel on TPU);
+TPU-native structure versus the reference's rank-0-only, batch=1 sweep with
+~2.3k serial GPU argmax round-trips per image (SURVEY.md §3C):
+
+  * the whole per-image pipeline — forward, native-res upsample, region
+    score, greedy selection — is ONE compiled program per dispatch,
+    shard_map'd over the ``data`` mesh axis: every chip processes
+    TPU.ACTIVE_BATCH images per dispatch, so an n-chip mesh divides the
+    round wall-clock by n (SURVEY.md §5 names this the TPU-native scaling
+    lever; masks are bit-identical to the single-device sweep because each
+    image's compute is independent);
+  * greedy selection runs in-program (the VMEM-resident Pallas kernel on
+    TPU, the XLA column-cache loop elsewhere) — score maps never leave
+    the chip;
+  * each process persists only the images its devices own (disjoint
+    writers, no races — multi-host sound by construction; the reference
+    serializes everything on rank 0, core/train_learners.py:307-326);
   * mask/indicator PNG encode + file IO run on background threads,
     overlapped with the next batch's device work.
 """
@@ -21,23 +31,45 @@ from __future__ import annotations
 
 import math
 from concurrent.futures import ThreadPoolExecutor
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from ..data import mask_cache
 from ..data.masks import save_indicator, save_mask_png
 from ..engine.steps import make_forward
 from ..ops.resize import resize_bilinear
+from ..parallel import multihost
+from ..parallel.mesh import batch_sharding
 from .scoring import floating_region_score
 from .selection import pallas_select_pixels_to_label, select_pixels_to_label
 
 
+def _local_rows(garr) -> np.ndarray:
+    """This process's addressable rows of a batch-sharded global array, in
+    global row order. Single-host (or fully-replicated): all rows. The
+    result lines up 1:1 with the host's loader slice because both the
+    loader shard and the mesh assign contiguous blocks per process."""
+    rows = {}
+    for s in garr.addressable_shards:
+        sl = s.index[0] if s.index else slice(None)
+        start = 0 if sl.start is None else int(sl.start)
+        data = np.asarray(s.data)
+        for j in range(data.shape[0]):
+            rows[start + j] = data[j]
+    return np.stack([rows[k] for k in sorted(rows)])
+
+
 def region_selection(cfg, model, state, active_loader, round_number: int,
-                     progress: bool = True):
-    """Run one acquisition round over ``active_loader``."""
+                     progress: bool = True, mesh=None):
+    """Run one acquisition round over ``active_loader``.
+
+    ``mesh``: optional jax Mesh; with a >1 ``data`` axis the sweep is
+    sharded over it (one image-batch shard per device). None or a 1-device
+    mesh reproduce the single-chip sweep program exactly.
+    """
     per_region_pixels = (2 * cfg.ACTIVE.RADIUS_K + 1) ** 2
     active_radius = cfg.ACTIVE.RADIUS_K
     mask_radius = cfg.ACTIVE.MASK_RADIUS_K
@@ -55,30 +87,62 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
 
     forward = make_forward(model)
 
-    @partial(jax.jit, static_argnums=(3,))
-    def fwd_and_score(variables, img, gt_b, size):
-        """Forward + native-res upsample + per-image region score in ONE
-        program: the (H, W, 19+64) native-res maps never round-trip to
-        HBM between dispatches (reference splits these steps,
-        build.py:110-144)."""
-        out, aux = forward(variables, img, False)
-        out = resize_bilinear(out.astype(jnp.float32), size)
-        if needs_embed and aux is not None:
-            aux = resize_bilinear(aux.astype(jnp.float32), size)
-        scores = []
-        for b in range(img.shape[0]):  # unrolled at trace time
-            s_b, _, _ = floating_region_score(
-                out[b], aux[b] if aux is not None else None, gt_b[b],
-                unc_type=unc_type, pur_type=pur_type,
-                size=2 * active_radius + 1, num_classes=num_classes, K=K,
-                normalize=normalize, c=curvature)
-            scores.append(s_b)
-        return jnp.stack(scores)
-
     use_pallas = (bool(getattr(cfg.TPU, "PALLAS_SELECTION", True))
                   and jax.default_backend() == "tpu")
     select = (pallas_select_pixels_to_label if use_pallas
               else select_pixels_to_label)
+
+    n_data = mesh.shape["data"] if mesh is not None else 1
+    programs = {}
+
+    def get_program(size, global_batch, num_picks):
+        """One compiled fwd+score+select program per (native size, batch)
+        signature; sharded over the data axis when the mesh has one."""
+        key = (size, global_batch, num_picks)
+        if key in programs:
+            return programs[key]
+        local = global_batch // n_data
+
+        def body(variables, img, gt, mask, active, selected):
+            out, aux = forward(variables, img, False)
+            out = resize_bilinear(out.astype(jnp.float32), size)
+            if needs_embed and aux is not None:
+                aux = resize_bilinear(aux.astype(jnp.float32), size)
+            fields = []
+            for b in range(local):  # unrolled at trace time
+                score, _, _ = floating_region_score(
+                    out[b], aux[b] if aux is not None else None, gt[b],
+                    unc_type=unc_type, pur_type=pur_type,
+                    size=2 * active_radius + 1, num_classes=num_classes,
+                    K=K, normalize=normalize, c=curvature)
+                res = select(
+                    score, mask[b], gt[b], active[b], selected[b],
+                    num_picks=num_picks, active_radius=active_radius,
+                    mask_radius=mask_radius)
+                fields.append((score, res.active_mask, res.active,
+                               res.selected, res.num_picked))
+            return tuple(jnp.stack([f[i] for f in fields])
+                         for i in range(5))
+
+        if mesh is not None and n_data > 1:
+            fn = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
+                          P("data")),
+                out_specs=(P("data"),) * 5,
+                check_vma=False)
+        else:
+            fn = body
+        programs[key] = jax.jit(fn)
+        return programs[key]
+
+    sh = batch_sharding(mesh) if mesh is not None else None
+
+    def put(a):
+        a = np.asarray(a)
+        if mesh is None:
+            return jnp.asarray(a)
+        return multihost.make_global_array(a, sh)
 
     variables = state.variables()
     stats = {"images": 0, "picked": 0, "labeled_px": 0}
@@ -95,72 +159,75 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
         viz_list = list(np.random.RandomState(
             max(cfg.SEED, 0) + 1).randint(0, 500, 20))
 
-    def _viz(i, b, batch, imgs, size, score, res):
-        if not (cfg.ACTIVE.VIZ_MASK and i in viz_list):
+    def _viz(gidx, b, batch, imgs, size, score, active_mask):
+        if not (cfg.ACTIVE.VIZ_MASK and gidx in viz_list):
             return
         from ..utils.visualize import denormalize_image, visualization_plots
         img_native = np.asarray(
-            resize_bilinear(imgs[b].astype(jnp.float32), size))
+            resize_bilinear(jnp.asarray(imgs[b], jnp.float32), size))
         mean = np.asarray(cfg.INPUT.PIXEL_MEAN) * 255.0
         std = np.asarray(cfg.INPUT.PIXEL_STD) * 255.0
         visualization_plots(
             denormalize_image(img_native, mean, std),
-            np.asarray(score), np.asarray(res.active_mask),
+            score, active_mask,
             round_number, batch["name"][b], cfg.SAVE_DIR,
             uncertainty=unc_type, purity=pur_type)
 
-    img_index = 0
-    for batch in iter(active_loader):
-        # One forward per dispatch covers the whole mini-batch; scoring +
-        # selection then run per image (identical masks to batch=1).
-        imgs = jnp.asarray(batch["img"])
+    # Global-batch bookkeeping: the loader yields this process's local
+    # slice; global image index = batch_no*global_batch + shard offset + b.
+    global_batch = active_loader.batch_size
+    shard = getattr(active_loader, "shard", None)
+    shard_offset = (shard[0] * (global_batch // shard[1])) if shard else 0
+
+    for batch_no, batch in enumerate(iter(active_loader)):
+        imgs = np.asarray(batch["img"])
         size = tuple(int(s) for s in batch["size"][0])
-        gt_b = jnp.asarray(batch["origin_label"])
-        scores = fwd_and_score(variables, imgs, gt_b, size)
+        is_pad = np.asarray(batch.get("is_pad",
+                                      np.zeros(imgs.shape[0], bool)))
+
+        num_pixels = size[0] * size[1]
+        active_regions = math.ceil(
+            num_pixels * budget_round / per_region_pixels)
+
+        prog = get_program(size, global_batch, active_regions)
+        score_s, mask_s, active_s, selected_s, picked_s = prog(
+            variables, put(imgs), put(batch["origin_label"]),
+            put(batch["origin_mask"]), put(batch["active"]),
+            put(batch["selected"]))
+
+        # Fetch only this process's shards (one transfer per array per
+        # dispatch); rows line up with the local loader slice.
+        mask_np = _local_rows(mask_s).astype(np.uint8)
+        active_np = _local_rows(active_s)
+        selected_np = _local_rows(selected_s)
+        picked_np = _local_rows(picked_s)
+        score_np = _local_rows(score_s) if cfg.ACTIVE.VIZ_MASK else None
 
         for b in range(imgs.shape[0]):
-            i = img_index
-            img_index += 1
-            gt = gt_b[b]
-            active_mask = jnp.asarray(batch["origin_mask"][b])
-            active = jnp.asarray(batch["active"][b])
-            selected = jnp.asarray(batch["selected"][b])
-            score = scores[b]
-
-            num_pixels = size[0] * size[1]
-            active_regions = math.ceil(
-                num_pixels * budget_round / per_region_pixels)
-
-            res = select(
-                score, active_mask, gt, active, selected,
-                num_picks=active_regions, active_radius=active_radius,
-                mask_radius=mask_radius)
-
-            # ONE device->host transfer for all outputs (each np.asarray
-            # would be its own blocking sync; at 2975 images/round the
-            # extra round-trips dominate). Publish in-process immediately
-            # (single-host fast path), then persist off-thread so PNG
-            # encode + file IO overlap the next image's device work (the
-            # reference serializes all of this, build.py:162-166).
-            mask_np, active_np, selected_np, n_picked = jax.device_get(
-                (res.active_mask, res.active, res.selected,
-                 res.num_picked))
-            mask_np = mask_np.astype(np.uint8)
-            mask_cache.put_mask(batch["path_to_mask"][b], mask_np)
+            if is_pad[b]:
+                continue
+            gidx = batch_no * global_batch + shard_offset + b
+            # Publish in-process immediately (single-host fast path), then
+            # persist off-thread so PNG encode + file IO overlap the next
+            # batch's device work (the reference serializes all of this,
+            # build.py:162-166).
+            mask_cache.put_mask(batch["path_to_mask"][b], mask_np[b])
             mask_cache.put_indicator(batch["path_to_indicator"][b],
-                                     {"active": active_np,
-                                      "selected": selected_np})
-            io_pool.submit(_persist, mask_np, active_np, selected_np,
-                           batch["path_to_mask"][b],
+                                     {"active": active_np[b],
+                                      "selected": selected_np[b]})
+            io_pool.submit(_persist, mask_np[b], active_np[b],
+                           selected_np[b], batch["path_to_mask"][b],
                            batch["path_to_indicator"][b])
 
             stats["images"] += 1
-            stats["picked"] += int(n_picked)
-            stats["labeled_px"] += int(selected_np.sum())
+            stats["picked"] += int(picked_np[b])
+            stats["labeled_px"] += int(selected_np[b].sum())
 
-            _viz(i, b, batch, imgs, size, score, res)
-            if progress and (i + 1) % 200 == 0:
-                print(f"  [round {round_number}] {i + 1} images scored")
+            if score_np is not None:
+                _viz(gidx, b, batch, imgs, size, score_np[b], mask_np[b])
+            if progress and stats["images"] % 200 == 0:
+                print(f"  [round {round_number}] {stats['images']} "
+                      f"images scored")
 
     io_pool.shutdown(wait=True)  # all masks durable before training resumes
     return stats

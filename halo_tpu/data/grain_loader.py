@@ -23,7 +23,7 @@ from __future__ import annotations
 import random
 from typing import Any, Dict, Iterator
 
-from .loader import _accepts_rng, default_collate
+from .loader import _accepts_rng, default_collate, local_batch_indices
 
 
 class _RngSource:
@@ -51,7 +51,8 @@ class GrainLoader:
     """Drop-in for data/loader.py:DataLoader backed by grain.python."""
 
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=4,
-                 seed=0, drop_last=False, collate_fn=default_collate):
+                 seed=0, drop_last=False, collate_fn=default_collate,
+                 shard=None, pad_final=False):
         import grain.python  # noqa: F401 — fail fast if unavailable
 
         self.dataset = dataset
@@ -62,6 +63,10 @@ class GrainLoader:
         self.drop_last = drop_last
         self.collate_fn = collate_fn
         self.epoch = 0
+        if shard is not None and not (drop_last or pad_final):
+            raise ValueError("shard requires drop_last or pad_final")
+        self.shard = shard
+        self.pad_final = pad_final
 
     def __len__(self):
         n = len(self.dataset)
@@ -85,6 +90,19 @@ class GrainLoader:
         source = _RngSource(self.dataset, self.seed, self.epoch)
         order = self._order()
 
+        # Same global->local batch mapping as the threaded loader: cut the
+        # global order into batches, pad/slice each, then flatten the local
+        # visit order for the sampler and regroup the worker stream.
+        global_batches = [order[i:i + self.batch_size]
+                          for i in range(0, len(order), self.batch_size)]
+        if (self.drop_last and global_batches
+                and len(global_batches[-1]) < self.batch_size):
+            global_batches.pop()
+        local_batches = [local_batch_indices(b, self.batch_size, self.shard,
+                                             self.pad_final)
+                         for b in global_batches]
+        order = [i for idxs, _pads in local_batches for i in idxs]
+
         class _OrderSampler(pg.Sampler):
             """Visit records in the threaded loader's exact order."""
 
@@ -106,12 +124,15 @@ class GrainLoader:
             operations=[],
         )
 
-        batch = []
-        for sample in loader:
-            batch.append(sample)
-            if len(batch) == self.batch_size:
-                yield self.collate_fn(batch)
-                batch = []
-        if batch and not self.drop_last:
-            yield self.collate_fn(batch)
+        import numpy as np
+
+        stream = iter(loader)
+        for idxs, pads in local_batches:
+            batch = [next(stream) for _ in idxs]
+            if not batch:
+                continue
+            out = self.collate_fn(batch)
+            if self.pad_final:
+                out["is_pad"] = np.asarray(pads, bool)
+            yield out
         self.epoch += 1

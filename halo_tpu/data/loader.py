@@ -40,7 +40,20 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=4,
-                 seed=0, drop_last=False, collate_fn=default_collate):
+                 seed=0, drop_last=False, collate_fn=default_collate,
+                 shard=None, pad_final=False):
+        """``batch_size`` is always the GLOBAL batch.
+
+        shard: optional (index, count) — yield only this process's
+          contiguous 1/count slice of every global batch (the multi-host
+          DDP-sampler analogue; see parallel/multihost.loader_shard).
+          Requires drop_last or pad_final so slices stay even.
+        pad_final: pad a trailing partial batch to full size by repeating
+          its last sample; padded positions are flagged in the collated
+          batch under ``is_pad`` (eval paths neutralize them by setting
+          labels to ignore). When pad_final is set every yielded batch has
+          an ``is_pad`` key.
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -49,6 +62,16 @@ class DataLoader:
         self.drop_last = drop_last
         self.collate_fn = collate_fn
         self.epoch = 0
+        if shard is not None:
+            index, count = shard
+            if batch_size % count:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by "
+                    f"{count} shards")
+            if not (drop_last or pad_final):
+                raise ValueError("shard requires drop_last or pad_final")
+        self.shard = shard
+        self.pad_final = pad_final
 
     def __len__(self):
         n = len(self.dataset)
@@ -64,6 +87,10 @@ class DataLoader:
         item = self.dataset.__getitem__(index, rng=rng) if _accepts_rng(
             self.dataset) else self.dataset[index]
         return item
+
+    def _local_indices(self, batch: List[int]):
+        return local_batch_indices(batch, self.batch_size, self.shard,
+                                   self.pad_final)
 
     def __iter__(self) -> Iterator[Dict]:
         order = list(range(len(self.dataset)))
@@ -81,12 +108,35 @@ class DataLoader:
             bi = 0
             while bi < len(batches) or pending:
                 while bi < len(batches) and len(pending) < prefetch:
-                    futs = [pool.submit(self._fetch, i) for i in batches[bi]]
-                    pending.append(futs)
+                    idxs, pads = self._local_indices(batches[bi])
+                    futs = [pool.submit(self._fetch, i) for i in idxs]
+                    pending.append((futs, pads))
                     bi += 1
-                futs = pending.pop(0)
-                yield self.collate_fn([f.result() for f in futs])
+                futs, pads = pending.pop(0)
+                out = self.collate_fn([f.result() for f in futs])
+                if self.pad_final:
+                    out["is_pad"] = np.asarray(pads, bool)
+                yield out
         self.epoch += 1
+
+
+def local_batch_indices(batch: List[int], batch_size: int, shard,
+                        pad_final: bool):
+    """Pad a partial global batch, then take this shard's contiguous
+    slice. Returns (indices, pad_flags) — pad positions repeat the
+    batch's last real index. Shared by the threaded and Grain loaders so
+    their shard semantics stay identical."""
+    pads = [False] * len(batch)
+    if pad_final and len(batch) < batch_size:
+        n_pad = batch_size - len(batch)
+        batch = batch + [batch[-1]] * n_pad
+        pads = pads + [True] * n_pad
+    if shard is not None:
+        index, count = shard
+        local = batch_size // count
+        batch = batch[index * local:(index + 1) * local]
+        pads = pads[index * local:(index + 1) * local]
+    return batch, pads
 
 
 def _accepts_rng(dataset) -> bool:

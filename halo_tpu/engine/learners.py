@@ -32,6 +32,7 @@ import numpy as np
 from ..active.region_selection import region_selection
 from ..data import DataLoader, DatasetCatalog, build_dataset
 from ..models import build_segmentor
+from ..parallel import multihost
 from ..parallel.mesh import batch_sharding, create_mesh, replicate_tree
 from ..utils.metrics import miou_from_histograms, miou_star
 from .optim import build_optimizer
@@ -75,6 +76,12 @@ class Learner:
             {"params": init_rng, "dropout": drop_rng}, dummy, train=False)
         self.state = state_from_variables(variables, self.tx)
 
+        # ImageNet trunk auto-load (reference: core/models/resnet.py:209-212
+        # loads MODEL.WEIGHTS at build); cfg.resume then overrides.
+        if cfg.MODEL.WEIGHTS:
+            from ..models.port_torch import load_pretrained_backbone
+            self.state = load_pretrained_backbone(self.state,
+                                                  cfg.MODEL.WEIGHTS)
         if cfg.resume:
             self.state = load_module_params(self.state, cfg.resume,
                                             "feature_extractor")
@@ -101,11 +108,16 @@ class Learner:
         raise NotImplementedError
 
     def val_loader(self) -> DataLoader:
+        """Eval loader: TEST.BATCH_SIZE images PER DEVICE, the global batch
+        sharded over the data mesh axis; a trailing partial batch is padded
+        with ignore-labeled repeats so histograms are unaffected."""
         test_set = build_dataset(self.cfg, mode="test",
                                  is_source=self.protocol == "source")
-        return DataLoader(test_set, batch_size=self.cfg.TEST.BATCH_SIZE,
-                          shuffle=False, num_workers=NUM_WORKERS,
-                          seed=self.seed)
+        return DataLoader(
+            test_set,
+            batch_size=self.cfg.TEST.BATCH_SIZE * self.num_devices,
+            shuffle=False, num_workers=NUM_WORKERS, seed=self.seed,
+            pad_final=True, shard=multihost.loader_shard())
 
     def _loader_cls(self):
         if str(getattr(self.cfg.TPU, "LOADER", "threads")) == "grain":
@@ -120,7 +132,8 @@ class Learner:
         workers = int(getattr(self.cfg.TPU, "LOADER_WORKERS", NUM_WORKERS))
         return self._loader_cls()(
             ds, batch_size=batch_size, shuffle=shuffle,
-            num_workers=workers, seed=self.seed, drop_last=drop_last)
+            num_workers=workers, seed=self.seed, drop_last=drop_last,
+            shard=multihost.loader_shard())
 
     # ------------------------------------------------------------------
     # loops
@@ -137,9 +150,30 @@ class Learner:
     _TRAIN_KEYS = ("img", "label", "mask")
 
     def _shard(self, batch: Dict) -> Dict:
+        """Assemble the global device batch. Single-host: a sharded
+        device_put. Multi-host: each process contributes its local loader
+        slice via make_array_from_process_local_data (the loaders are
+        constructed with the matching contiguous shard)."""
         sh = batch_sharding(self.mesh)
-        return {k: jax.device_put(v, sh) for k, v in batch.items()
+        return {k: multihost.make_global_array(v, sh)
+                for k, v in batch.items()
                 if k in self._TRAIN_KEYS and isinstance(v, np.ndarray)}
+
+    def _eval_batches(self, loader):
+        """Yield (img, label) global device arrays sharded over the data
+        mesh axis; padded positions get all-ignore labels so they add
+        nothing to the IoU histograms."""
+        ignore = self.cfg.INPUT.IGNORE_LABEL
+        sh = batch_sharding(self.mesh)
+        for batch in iter(loader):
+            img = np.asarray(batch["img"])
+            label = np.asarray(batch["label"])
+            pad = batch.get("is_pad")
+            if pad is not None and pad.any():
+                label = np.where(pad[:, None, None],
+                                 np.asarray(ignore, label.dtype), label)
+            yield (multihost.make_global_array(img, sh),
+                   multihost.make_global_array(label, sh))
 
     def on_batch_start(self, step: int) -> bool:
         """Returns True if an active round ran (fit() then refreshes its
@@ -158,10 +192,23 @@ class Learner:
         self._append_jsonl(rec)
 
     def _append_jsonl(self, rec):
+        if not multihost.is_coordinator():
+            return  # once-per-run file: coordinator writes, others skip
         path = os.path.join(self.cfg.SAVE_DIR, "metrics.jsonl")
         os.makedirs(self.cfg.SAVE_DIR, exist_ok=True)
         with open(path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+
+    def _save_checkpoint(self, filename: str, extra: Optional[Dict] = None):
+        """Coordinator-only checkpoint write (the state is replicated, so
+        every process holds identical values; one writer avoids torn files
+        on a shared filesystem). Barriered so no process resumes before
+        the file is durable."""
+        if multihost.is_coordinator():
+            save_checkpoint(self.state,
+                            os.path.join(self.cfg.SAVE_DIR, filename),
+                            extra=extra)
+        multihost.sync_hosts(f"ckpt:{filename}")
 
     def resume_full(self, path: str):
         """Restore the complete trainer state (params, optimizer, step) for
@@ -198,9 +245,7 @@ class Learner:
 
         for step in range(start, steps):
             if preempted["flag"]:
-                save_checkpoint(self.state,
-                                os.path.join(self.cfg.SAVE_DIR,
-                                             "preempt.ckpt"))
+                self._save_checkpoint("preempt.ckpt")
                 print(f"preempted at step {step}; state saved", flush=True)
                 break
             if self.on_batch_start(step):
@@ -226,13 +271,10 @@ class Learner:
                 miou = self.validate()
                 if miou > self.best_miou:
                     self.best_miou = miou
-                    save_checkpoint(
-                        self.state,
-                        os.path.join(self.cfg.SAVE_DIR, "best_mIoU.ckpt"),
-                        extra={"mIoU": miou, "step": step})
+                    self._save_checkpoint("best_mIoU.ckpt",
+                                          extra={"mIoU": miou, "step": step})
 
-        save_checkpoint(self.state,
-                        os.path.join(self.cfg.SAVE_DIR, "last.ckpt"))
+        self._save_checkpoint("last.ckpt")
         for sig, handler in old_handlers.items():
             import signal as _signal
             _signal.signal(sig, handler)
@@ -240,13 +282,17 @@ class Learner:
 
     def validate(self, loader: Optional[DataLoader] = None,
                  max_batches: Optional[int] = None) -> float:
+        """Distributed eval: every device scores TEST.BATCH_SIZE images per
+        dispatch (the batch sharded over the data mesh axis) and the I/U
+        histograms reduce inside the compiled program — the psum
+        replacement for the reference's all_gather-then-sum
+        (train_learners.py:130-165), minus its single-GPU-only test
+        aggregation bug (:652-654)."""
         loader = loader or self.val_loader()
         inter = None
-        for i, batch in enumerate(iter(loader)):
+        for i, (img, label) in enumerate(self._eval_batches(loader)):
             if max_batches is not None and i >= max_batches:
                 break
-            img = jnp.asarray(batch["img"])
-            label = jnp.asarray(batch["label"])
             it, un, tg = self.eval_step(self.state, img, label, flip=True)
             if inter is None:
                 inter, union, target = it, un, tg
@@ -280,12 +326,23 @@ class _ActiveMixin:
         cfg = self.cfg
         active_set = build_dataset(cfg, mode="active", is_source=False,
                                    epochwise=True)
+        # The sweep is sharded over the data mesh axis: every device scores
+        # TPU.ACTIVE_BATCH images per dispatch; a trailing partial batch is
+        # padded with repeats whose results are discarded (is_pad).
         self.active_loader = DataLoader(
             active_set,
-            batch_size=int(getattr(cfg.TPU, "ACTIVE_BATCH", 1)),
-            shuffle=False, num_workers=NUM_WORKERS, seed=self.seed)
+            batch_size=(int(getattr(cfg.TPU, "ACTIVE_BATCH", 1))
+                        * self.num_devices),
+            shuffle=False, num_workers=NUM_WORKERS, seed=self.seed,
+            pad_final=True, shard=multihost.loader_shard())
         print(">>>>>>>>>>>>>>>> Init Mask >>>>>>>>>>>>>>>>", flush=True)
-        DatasetCatalog.init_mask(cfg)
+        # Single writer: the coordinator seeds the 255-masks; the barrier
+        # orders the writes before any host's loader reads them (reference
+        # guards initMask on LOCAL_RANK being unset, i.e. the pre-spawn
+        # rank-0 process, train_learners.py:292-294).
+        if multihost.is_coordinator():
+            DatasetCatalog.init_mask(cfg)
+        multihost.sync_hosts("init_mask")
         self._compute_active_iters()
 
     def _compute_active_iters(self):
@@ -302,12 +359,17 @@ class _ActiveMixin:
         if step in self.active_iters and not self.debug:
             name = f"model_before_round_{self.active_round}.ckpt"
             print(f"\nSaving checkpoint: {name}", flush=True)
-            save_checkpoint(self.state,
-                            os.path.join(self.cfg.SAVE_DIR, name))
+            self._save_checkpoint(name)
             print(f"\n>>>> Active Round {self.active_round} >>>>",
                   flush=True)
+            # The sweep is SPMD over the whole mesh (every process
+            # participates; each persists only the images its devices
+            # own). The barrier orders all hosts' mask writes before any
+            # host's training loader reads them.
             stats = region_selection(self.cfg, self.model, self.state,
-                                     self.active_loader, self.active_round)
+                                     self.active_loader, self.active_round,
+                                     mesh=self.mesh)
+            multihost.sync_hosts(f"active_round_{self.active_round}")
             print(f"  selected {stats['picked']} regions / "
                   f"{stats['labeled_px']} px over {stats['images']} images",
                   flush=True)
@@ -349,7 +411,9 @@ class FullySupervisedLearner(SourceTargetLearner):
         # ...but the target train loader still reads mask PNGs, so they
         # must exist (the reference reaches initMask through
         # SourceFreeLearner.__init__, train_learners.py:292-294,495-497).
-        DatasetCatalog.init_mask(cfg)
+        if multihost.is_coordinator():
+            DatasetCatalog.init_mask(cfg)
+        multihost.sync_hosts("init_mask")
         self.active_iters = []
 
     def on_batch_start(self, step: int):
@@ -368,36 +432,26 @@ class TestLearner(Learner):
         raise RuntimeError("TestLearner does not train")
 
     def test(self, max_batches: Optional[int] = None) -> Dict:
-        loader = self.val_loader()
         cfg = self.cfg
         rich = bool(cfg.TEST.SAVE_EMBED or cfg.TEST.VIZ_WRONG)
         if rich:
-            from .steps import make_rich_eval_step
-            rich_step = make_rich_eval_step(cfg, self.model)
-            viz_list = set(np.random.RandomState(
-                max(cfg.SEED, 0) + 1).randint(0, 500, 20).tolist())
-        inter = union = target = None
-        for i, batch in enumerate(iter(loader)):
-            if max_batches is not None and i >= max_batches:
-                break
-            img = jnp.asarray(batch["img"])
-            label = jnp.asarray(batch["label"])
-            if rich:
-                r = rich_step(self.state, img, label, flip=True)
-                it, un, tg = r["inter"], r["union"], r["target"]
-                name = (batch["name"][0].rsplit("/", 1)[-1]
-                        .rsplit("_", 1)[0] if batch.get("name") else str(i))
-                if cfg.TEST.SAVE_EMBED:
-                    self._save_artifacts(r, label, name)
-                if cfg.TEST.VIZ_WRONG and i in viz_list:
-                    self._viz_wrong(r, img, label, name)
-            else:
+            inter, union, target = self._test_rich(max_batches)
+        else:
+            # Plain eval shards the batch over the data mesh axis; the
+            # I/U histograms reduce inside the compiled program (the psum
+            # replacement for the reference's all_gather, :643-645).
+            inter = union = target = None
+            for i, (img, label) in enumerate(
+                    self._eval_batches(self.val_loader())):
+                if max_batches is not None and i >= max_batches:
+                    break
                 it, un, tg = self.eval_step(self.state, img, label,
                                             flip=True)
-            if inter is None:
-                inter, union, target = it, un, tg
-            else:
-                inter, union, target = inter + it, union + un, target + tg
+                if inter is None:
+                    inter, union, target = it, un, tg
+                else:
+                    inter, union, target = (inter + it, union + un,
+                                            target + tg)
         miou, macc, aacc, iou_c, acc_c = miou_from_histograms(
             inter, union, target)
         result = {
@@ -419,11 +473,39 @@ class TestLearner(Learner):
         print(f"mIoU: {result['mIoU']:.2f}")
         return result
 
-    def val_loader(self):
-        test_set = build_dataset(self.cfg, mode="test", is_source=False)
-        return DataLoader(test_set, batch_size=self.cfg.TEST.BATCH_SIZE,
-                          shuffle=False, num_workers=NUM_WORKERS,
-                          seed=self.seed)
+    def _test_rich(self, max_batches: Optional[int] = None):
+        """Artifact-dumping eval (embed/pred dumps, wrong-viz panels):
+        inherently per-image host IO, so it runs unsharded at
+        TEST.BATCH_SIZE like the reference's manual loop
+        (train_learners.py:598-623)."""
+        cfg = self.cfg
+        from .steps import make_rich_eval_step
+        rich_step = make_rich_eval_step(cfg, self.model)
+        viz_list = set(np.random.RandomState(
+            max(cfg.SEED, 0) + 1).randint(0, 500, 20).tolist())
+        test_set = build_dataset(cfg, mode="test", is_source=False)
+        loader = DataLoader(test_set, batch_size=cfg.TEST.BATCH_SIZE,
+                            shuffle=False, num_workers=NUM_WORKERS,
+                            seed=self.seed)
+        inter = union = target = None
+        for i, batch in enumerate(iter(loader)):
+            if max_batches is not None and i >= max_batches:
+                break
+            img = jnp.asarray(batch["img"])
+            label = jnp.asarray(batch["label"])
+            r = rich_step(self.state, img, label, flip=True)
+            it, un, tg = r["inter"], r["union"], r["target"]
+            name = (batch["name"][0].rsplit("/", 1)[-1]
+                    .rsplit("_", 1)[0] if batch.get("name") else str(i))
+            if cfg.TEST.SAVE_EMBED:
+                self._save_artifacts(r, label, name)
+            if cfg.TEST.VIZ_WRONG and i in viz_list:
+                self._viz_wrong(r, img, label, name)
+            if inter is None:
+                inter, union, target = it, un, tg
+            else:
+                inter, union, target = inter + it, union + un, target + tg
+        return inter, union, target
 
     def _save_artifacts(self, r, label, name):
         """Dump embed/pred/output/label tensors (reference

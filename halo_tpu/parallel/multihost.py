@@ -1,0 +1,72 @@
+"""Multi-host (DCN) process coordination.
+
+The reference runs multi-GPU single-host DDP and gates side effects on
+rank 0 (reference: core/train_learners.py:292-294 initMask guard, :307-308
+local_rank gate on RegionSelection). The JAX multi-host equivalent is a
+process-level split:
+
+  * exactly one process (the coordinator, ``jax.process_index() == 0``)
+    performs shared-filesystem writes that must happen once — mask
+    initialization, checkpoints, metrics.jsonl;
+  * global batches are assembled from per-process loader shards with
+    ``jax.make_array_from_process_local_data`` — each host reads only its
+    contiguous slice of the global batch (the DDP-sampler analogue);
+  * barriers (``sync_hosts``) order the coordinator's file writes before
+    other hosts' reads, replacing the reference's unsynchronized lazy
+    mask pickup (core/active/build.py:162-166 + cityscapes.py:232-234).
+
+Every function degrades to a no-op / plain device_put in single-process
+runs, so the single-host path pays nothing. Tests fake multi-host by
+monkeypatching ``process_index`` / ``process_count`` here — all callers
+route through this module.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_coordinator() -> bool:
+    """True on the single process allowed to do once-per-run file writes."""
+    return process_index() == 0
+
+
+def sync_hosts(name: str) -> None:
+    """Barrier across all processes (no-op single-process). Used to order
+    coordinator file writes before other hosts' reads."""
+    if process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def loader_shard():
+    """(shard_index, shard_count) for DataLoader batch slicing, or None in
+    single-process runs. Host p takes the p-th contiguous slice of every
+    global batch, matching the contiguous per-process device blocks of a
+    mesh built from ``jax.devices()``."""
+    n = process_count()
+    if n == 1:
+        return None
+    return (process_index(), n)
+
+
+def make_global_array(local, sharding):
+    """Assemble a global device array from this process's local slice.
+
+    Single-process: a plain device_put (zero-copy onto the sharding).
+    Multi-process: ``jax.make_array_from_process_local_data``, where
+    ``local`` must be exactly this process's contiguous slice of the
+    global batch (see ``loader_shard``).
+    """
+    if process_count() == 1:
+        return jax.device_put(local, sharding)
+    return jax.make_array_from_process_local_data(sharding, local)
