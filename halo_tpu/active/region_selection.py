@@ -85,6 +85,12 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
                    or unc_type in ("certainty", "hyperbolic")
                    or (unc_type == "none" and cfg.MODEL.HYPER))
 
+    # Native-res map dtype for the bandwidth-bound score chain; the
+    # scoring ops upcast to f32 in-register, so bf16 maps halve the HBM
+    # traffic without f32 accumulation loss (TPU.SCORING_DTYPE).
+    score_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        str(getattr(cfg.TPU, "SCORING_DTYPE", "bfloat16"))]
+
     forward = make_forward(model)
 
     use_pallas = (bool(getattr(cfg.TPU, "PALLAS_SELECTION", True))
@@ -106,8 +112,10 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
         def body(variables, img, gt, mask, active, selected):
             out, aux = forward(variables, img, False)
             out = resize_bilinear(out.astype(jnp.float32), size)
+            out = out.astype(score_dtype)
             if needs_embed and aux is not None:
                 aux = resize_bilinear(aux.astype(jnp.float32), size)
+                aux = aux.astype(score_dtype)
             fields = []
             for b in range(local):  # unrolled at trace time
                 score, _, _ = floating_region_score(

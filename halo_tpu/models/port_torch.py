@@ -18,8 +18,9 @@ Only numpy/flax at import time; torch is used purely as a deserializer.
 
 from __future__ import annotations
 
+import os
 import re
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -51,6 +52,51 @@ def _backbone_torch_to_flax(key: str):
     if key.startswith("bn1."):
         return ("bn1",), key.split(".", 1)[1], "bn"
     return None  # fc./avgpool – dropped (feature extractor taps only)
+
+
+def _mit_torch_to_flax(key: str):
+    """Official MiT (SegFormer, NVlabs) encoder names -> our
+    MixVisionTransformer tree paths. The torch module fuses K and V into
+    one ``kv`` linear; our EfficientAttention keeps separate ``k``/``v``
+    Dense layers, so kv rows are split by the caller (kind 'kv').
+
+    'block1.0.attn.q.weight'      -> ('block1_0', 'attn', 'q') linear
+    'patch_embed2.proj.weight'    -> ('patch_embed2', 'proj') conv
+    'block3.5.mlp.dwconv.dwconv.weight' -> ('block3_5','ffn','dwconv') dwconv
+    """
+    m = re.match(r"patch_embed(\d)\.(proj|norm)\.(.*)", key)
+    if m:
+        s, mod, leaf = m.groups()
+        kind = "conv" if mod == "proj" else "ln"
+        return (f"patch_embed{s}", mod), leaf, kind
+    m = re.match(r"norm(\d)\.(.*)", key)
+    if m:
+        return (f"norm{m.group(1)}",), m.group(2), "ln"
+    m = re.match(r"block(\d)\.(\d+)\.(.*)", key)
+    if not m:
+        return None  # head.* (ImageNet classifier) — dropped
+    s, b, rest = m.groups()
+    base = (f"block{s}_{b}",)
+    if rest.startswith("norm1.") or rest.startswith("norm2."):
+        mod, leaf = rest.split(".", 1)
+        return base + (mod,), leaf, "ln"
+    if rest.startswith("attn."):
+        rest = rest[len("attn."):]
+        mod, leaf = rest.split(".", 1)
+        table = {"q": (("attn", "q"), "linear"),
+                 "kv": (("attn",), "kv"),      # split into k/v by caller
+                 "proj": (("attn", "proj"), "linear"),
+                 "sr": (("attn", "sr"), "conv"),
+                 "norm": (("attn", "sr_norm"), "ln")}
+        path, kind = table[mod]
+        return base + path, leaf, kind
+    if rest.startswith("mlp."):
+        rest = rest[len("mlp."):]
+        if rest.startswith("dwconv.dwconv."):
+            return base + ("ffn", "dwconv"), rest.split(".")[-1], "conv"
+        mod, leaf = rest.split(".", 1)
+        return base + ("ffn", mod), leaf, "linear"
+    return None
 
 
 _SEP_LEAF = {"depthwise_conv": ("depthwise", "conv"),
@@ -148,6 +194,8 @@ def _convert(value: np.ndarray, leaf: str, kind: str):
         if leaf == "weight":
             return ("kernel", v.T)
         return ("bias", v)
+    if kind == "ln":  # LayerNorm: torch weight -> flax scale
+        return ("scale" if leaf == "weight" else "bias", v)
     if kind == "raw":
         return (leaf, v)
     return (leaf, v)  # bn leaves keep torch names; resolved by collection
@@ -165,6 +213,8 @@ def torch_state_dict_to_variables(state_dict: Dict[str, Any], module: str,
     frozen: Dict = {}
     stats: Dict = {}
 
+    is_mit = any("patch_embed" in k for k in state_dict)
+
     for key, value in state_dict.items():
         if key.startswith(module + "."):
             key = key[len(module) + 1:]
@@ -175,7 +225,8 @@ def torch_state_dict_to_variables(state_dict: Dict[str, Any], module: str,
             continue
 
         if module == "feature_extractor":
-            hit = _backbone_torch_to_flax(key)
+            hit = (_mit_torch_to_flax(key) if is_mit
+                   else _backbone_torch_to_flax(key))
         else:
             hit = _head_torch_to_flax(key, head)
         if hit is None:
@@ -183,7 +234,15 @@ def torch_state_dict_to_variables(state_dict: Dict[str, Any], module: str,
         path, leaf, kind = hit
         value = np.asarray(value)
 
-        if kind in ("conv", "linear", "raw"):
+        if kind == "kv":
+            # torch fuses K/V into one (2C, C) linear; split into our
+            # separate k/v Dense layers.
+            half = value.shape[0] // 2
+            name, vk = _convert(value[:half], leaf, "linear")
+            _, vv = _convert(value[half:], leaf, "linear")
+            _set(params, path + ("k",), name, vk)
+            _set(params, path + ("v",), name, vv)
+        elif kind in ("conv", "linear", "raw", "ln"):
             name, v = _convert(value, leaf, kind)
             _set(params, path, name, v)
         elif kind in ("bn", "bn1d"):
@@ -230,6 +289,54 @@ def _deep_update(dst, src, label=""):
                 v = np.asarray(v, dst[k].dtype) if hasattr(
                     dst[k], "dtype") else v
             dst[k] = v
+
+
+def resolve_pretrained_weights(spec: str) -> Optional[str]:
+    """Resolve MODEL.WEIGHTS to a local file path.
+
+    '' -> None (skip). A filesystem path -> itself (FileNotFoundError if
+    absent). A URL -> torch-hub cache lookup by basename
+    ($TORCH_HOME/hub/checkpoints, like torchvision's downloader uses) —
+    RuntimeError with a pre-download hint if not cached, because TPU pods
+    often run without egress and silently training the trunk from random
+    init would wreck mIoU parity (the reference auto-downloads at build,
+    core/models/resnet.py:209-212).
+    """
+    spec = str(spec or "")
+    if not spec:
+        return None
+    if "://" not in spec:
+        if not os.path.exists(spec):
+            raise FileNotFoundError(
+                f"MODEL.WEIGHTS points at a missing file: {spec}")
+        return spec
+    name = spec.rsplit("/", 1)[-1]
+    torch_home = os.environ.get(
+        "TORCH_HOME", os.path.join(os.path.expanduser("~"), ".cache",
+                                   "torch"))
+    candidates = [
+        os.path.join(torch_home, "hub", "checkpoints", name),
+        os.path.join(torch_home, "checkpoints", name),
+    ]
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    raise RuntimeError(
+        f"MODEL.WEIGHTS is a URL ({spec}) but {name} is not in the torch "
+        f"hub cache ({candidates[0]}). Pre-download it on a host with "
+        "network access, or set MODEL.WEIGHTS to a local path / '' to "
+        "skip pretrained initialization.")
+
+
+def load_pretrained_backbone(state, spec: str):
+    """Load an ImageNet trunk (torchvision ResNet or official MiT) into
+    state.params['feature_extractor'] from MODEL.WEIGHTS — the build-time
+    auto-load of the reference (core/models/resnet.py:209-212). No-op when
+    spec is empty."""
+    path = resolve_pretrained_weights(spec)
+    if path is None:
+        return state
+    return load_torch_module_params(state, path, "feature_extractor")
 
 
 def load_torch_module_params(state, path: str, module: str):

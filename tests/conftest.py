@@ -84,6 +84,7 @@ def mini_root(tmp_path):
 
 def make_mini_cfg(root, tmp_path):
     cfg = get_default_cfg()
+    cfg.MODEL.WEIGHTS = ""  # no pretrained trunk in the test environment
     cfg.DATASETS.SOURCE_TRAIN = "gtav_train"
     cfg.DATASETS.TARGET_TRAIN = "cityscapes_train"
     cfg.DATASETS.TEST = "cityscapes_val"

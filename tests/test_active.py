@@ -315,3 +315,43 @@ def test_multi_round_accumulation():
     m2 = np.asarray(r2.active_mask)
     keep = np.asarray(r1.selected)
     np.testing.assert_array_equal(m2[keep], m1[keep])
+
+
+def test_bf16_scoring_envelope_and_pick_agreement():
+    """TPU.SCORING_DTYPE='bfloat16' feeds bf16 maps to the (f32-accumulating)
+    score chain. The score map must stay inside a tight envelope of the f32
+    chain and greedy selection must pick essentially the same regions —
+    the validation behind the bf16 production default (defaults.py)."""
+    import jax
+    import jax.numpy as jnp
+    from halo_tpu.active.selection import select_pixels_to_label
+
+    rng = np.random.default_rng(0)
+    H, W, C, E = 64, 96, 19, 16
+    logits = rng.normal(size=(H, W, C)).astype(np.float32)
+    embed = (rng.normal(size=(H, W, E)) * 0.4).astype(np.float32)
+
+    outs = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        s, _, _ = floating_region_score(
+            jnp.asarray(logits, dtype), jnp.asarray(embed, dtype),
+            unc_type="entropy", pur_type="radius", size=3, num_classes=C,
+            normalize=True)
+        assert s.dtype == jnp.float32  # accumulation/output stay f32
+        gt = jnp.asarray(rng.integers(0, C, (H, W)), jnp.int32)
+        res = select_pixels_to_label(
+            s, jnp.full((H, W), 255, jnp.int32), gt,
+            jnp.zeros((H, W), bool), jnp.zeros((H, W), bool),
+            num_picks=30, active_radius=1, mask_radius=3)
+        outs[dtype.__name__] = (np.asarray(s), np.asarray(res.selected))
+
+    s32, sel32 = outs["float32"]
+    s16, sel16 = outs["bfloat16"]
+    # normalized score in [0,1]: bf16 inputs stay within a small absolute
+    # envelope (bf16 carries ~3 significant digits; the product of two
+    # normalized maps lands around 5e-2 worst-case)
+    assert np.max(np.abs(s32 - s16)) < 8e-2
+    assert np.mean(np.abs(s32 - s16)) < 2e-3
+    inter = np.logical_and(sel32, sel16).sum()
+    union = np.logical_or(sel32, sel16).sum()
+    assert inter / union > 0.85  # picks move only between near-ties
