@@ -21,13 +21,18 @@ Purity types (:165-198): 'ripu', 'oracle_ripu', 'hyper', 'radius',
 'euc_norm', 'none'.
 
 Why no Pallas kernel here (and no config knob for one): measured on
-v5e, this XLA program runs one 1024x2048 map in ~0.98 ms — ~87% of the
-HBM-bandwidth roofline for its ~700 MB of mandatory tensor reads (XLA
-fuses softmax+entropy+dist0 into bandwidth-bound loops already). A
-hand-written kernel could recover at most ~13%, and the natural (H, W, C)
-layout puts C=19 on the 128-lane axis, so a Pallas rewrite would need a
-layout transpose that costs more than it saves. The custom-kernel budget
-went to greedy selection instead (pallas_select.py, ~700x).
+v5e, this XLA program runs one 1024x2048 map in ~0.98 ms at f32 and
+~0.55-0.75 ms with bf16 input maps (TPU.SCORING_DTYPE) — at or near the
+HBM-bandwidth roofline for the mandatory tensor reads; XLA fuses
+softmax+entropy+dist0 into bandwidth-bound loops already. Round 2
+empirically confirmed this by building the fused kernel: a channel-major
+Pallas kernel (single VMEM-resident read of the logits tile, log-sum-exp
+entropy with 19 exps + 1 log per pixel) measured 1.35 ms/map vs 0.59 ms
+for this lax chain on the same inputs — Mosaic's pipelining of the
+strided (C, rows, W) blocks lost more than the fusion saved, so the
+kernel was dropped. The real lever was input precision (bf16 maps,
+~1.6-2x). The custom-kernel budget went to greedy selection instead
+(pallas_select.py, ~700x).
 """
 
 from __future__ import annotations
