@@ -46,7 +46,9 @@ class OverlapPatchEmbed(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=((p, p), (p, p)), dtype=self.dtype,
                     name="proj")(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        # official MiT: plain nn.LayerNorm here (eps 1e-5), unlike the
+        # block norms which are built with eps=1e-6
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x
 
 
@@ -67,8 +69,8 @@ class EfficientAttention(nn.Module):
             kv_in = nn.Conv(self.dim, (self.sr_ratio, self.sr_ratio),
                             strides=(self.sr_ratio, self.sr_ratio),
                             dtype=self.dtype, name="sr")(x)
-            kv_in = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                                 name="sr_norm")(kv_in)
+            kv_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                 name="sr_norm")(kv_in)  # official: plain LN
         k = nn.Dense(self.dim, dtype=self.dtype, name="k")(kv_in)
         v = nn.Dense(self.dim, dtype=self.dtype, name="v")(kv_in)
 
@@ -97,7 +99,9 @@ class MixFFN(nn.Module):
         y = nn.Conv(hidden, (3, 3), padding=((1, 1), (1, 1)),
                     feature_group_count=hidden, dtype=self.dtype,
                     name="dwconv")(y)
-        y = nn.gelu(y)
+        # exact erf GELU — torch nn.GELU's default; flax's default is the
+        # tanh approximation, which would break ported-checkpoint parity
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
         return y
 

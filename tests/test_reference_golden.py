@@ -247,6 +247,156 @@ def test_mit_state_dict_port_layout():
     assert "head" not in params
 
 
+class _TorchMiT(torch.nn.Module):
+    """Minimal torch replica of the OFFICIAL MiT encoder layout (NVlabs
+    SegFormer; the reference's `segformer` branch backbone, README.md:
+    104-116) — exact module names, kv fusion, reshape orders, LayerNorm
+    epsilons and erf-GELU — so a random state_dict from it is
+    indistinguishable from a real MiT checkpoint for porting purposes."""
+
+    def __init__(self, embed_dims=(16, 32, 64, 128), depths=(1, 1, 1, 1),
+                 heads=(1, 2, 4, 8), sr_ratios=(8, 4, 2, 1), mlp_ratio=4):
+        super().__init__()
+        import torch.nn as nn
+
+        class Attention(nn.Module):
+            def __init__(self, dim, num_heads, sr_ratio):
+                super().__init__()
+                self.num_heads = num_heads
+                self.q = nn.Linear(dim, dim)
+                self.kv = nn.Linear(dim, dim * 2)
+                self.proj = nn.Linear(dim, dim)
+                self.sr_ratio = sr_ratio
+                if sr_ratio > 1:
+                    self.sr = nn.Conv2d(dim, dim, sr_ratio, sr_ratio)
+                    self.norm = nn.LayerNorm(dim)
+
+            def forward(self, x, H, W):
+                B, N, C = x.shape
+                h = self.num_heads
+                q = self.q(x).reshape(B, N, h, C // h).permute(0, 2, 1, 3)
+                if self.sr_ratio > 1:
+                    x_ = x.permute(0, 2, 1).reshape(B, C, H, W)
+                    x_ = self.sr(x_).reshape(B, C, -1).permute(0, 2, 1)
+                    x_ = self.norm(x_)
+                else:
+                    x_ = x
+                kv = self.kv(x_).reshape(B, -1, 2, h, C // h).permute(
+                    2, 0, 3, 1, 4)
+                k, v = kv[0], kv[1]
+                attn = (q @ k.transpose(-2, -1)) * (C // h) ** -0.5
+                attn = attn.softmax(dim=-1)
+                out = (attn @ v).transpose(1, 2).reshape(B, N, C)
+                return self.proj(out)
+
+        class DWConv(nn.Module):
+            def __init__(self, dim):
+                super().__init__()
+                self.dwconv = nn.Conv2d(dim, dim, 3, 1, 1, groups=dim)
+
+            def forward(self, x, H, W):
+                B, N, C = x.shape
+                x = x.transpose(1, 2).view(B, C, H, W)
+                x = self.dwconv(x)
+                return x.flatten(2).transpose(1, 2)
+
+        class Mlp(nn.Module):
+            def __init__(self, dim, hidden):
+                super().__init__()
+                self.fc1 = nn.Linear(dim, hidden)
+                self.dwconv = DWConv(hidden)
+                self.act = nn.GELU()
+                self.fc2 = nn.Linear(hidden, dim)
+
+            def forward(self, x, H, W):
+                return self.fc2(self.act(self.dwconv(self.fc1(x), H, W)))
+
+        class Block(nn.Module):
+            def __init__(self, dim, num_heads, sr_ratio, mlp_ratio):
+                super().__init__()
+                self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+                self.attn = Attention(dim, num_heads, sr_ratio)
+                self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+                self.mlp = Mlp(dim, dim * mlp_ratio)
+
+            def forward(self, x, H, W):
+                x = x + self.attn(self.norm1(x), H, W)
+                x = x + self.mlp(self.norm2(x), H, W)
+                return x
+
+        class OverlapPatchEmbed(nn.Module):
+            def __init__(self, patch, stride, in_c, dim):
+                super().__init__()
+                self.proj = nn.Conv2d(in_c, dim, patch, stride, patch // 2)
+                self.norm = nn.LayerNorm(dim)
+
+            def forward(self, x):
+                x = self.proj(x)
+                _, _, H, W = x.shape
+                x = x.flatten(2).transpose(1, 2)
+                return self.norm(x), H, W
+
+        in_c = 3
+        for s in range(4):
+            setattr(self, f"patch_embed{s + 1}", OverlapPatchEmbed(
+                7 if s == 0 else 3, 4 if s == 0 else 2, in_c,
+                embed_dims[s]))
+            setattr(self, f"block{s + 1}", nn.ModuleList(
+                [Block(embed_dims[s], heads[s], sr_ratios[s], mlp_ratio)
+                 for _ in range(depths[s])]))
+            setattr(self, f"norm{s + 1}", nn.LayerNorm(embed_dims[s],
+                                                       eps=1e-6))
+            in_c = embed_dims[s]
+
+    def forward(self, x):
+        outs = []
+        B = x.shape[0]
+        for s in range(4):
+            x, H, W = getattr(self, f"patch_embed{s + 1}")(x)
+            for blk in getattr(self, f"block{s + 1}"):
+                x = blk(x, H, W)
+            x = getattr(self, f"norm{s + 1}")(x)
+            outs.append(x.reshape(B, H, W, -1).permute(0, 3, 1, 2))
+            x = outs[-1]
+        return outs
+
+
+def test_reference_golden_mit_trunk():
+    """Official-layout MiT state_dict -> port_torch -> our
+    MixVisionTransformer reproduces all four stage maps: validates the kv
+    split, attention head reshape order, SR conv+LN, MixFFN dwconv, and
+    patch-embed semantics the SegFormer checkpoint import depends on
+    (BASELINE.json config #5)."""
+    from halo_tpu.models.port_torch import (torch_state_dict_to_variables,
+                                            _deep_update)
+    from halo_tpu.models.segformer import MIT_ARCHS, MixVisionTransformer
+
+    arch = MIT_ARCHS["mittiny"]
+    torch.manual_seed(0)
+    ref = _TorchMiT(embed_dims=arch["embed_dims"], depths=arch["depths"],
+                    heads=arch["heads"])
+    ref.eval()
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(1, 3, 64, 128)).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in ref(torch.from_numpy(x))]
+
+    ours = MixVisionTransformer(**arch)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = ours.init({"params": jax.random.PRNGKey(0)}, x_nhwc,
+                          train=False)
+    converted = torch_state_dict_to_variables(ref.state_dict(),
+                                              "feature_extractor")
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    _deep_update(variables["params"], converted["params"], "params")
+    feats = ours.apply(variables, x_nhwc, train=False)
+
+    for s in range(4):
+        got = np.transpose(np.asarray(feats[f"c{s + 1}"]), (0, 3, 1, 2))
+        np.testing.assert_allclose(got, want[s], rtol=2e-3, atol=2e-4,
+                                   err_msg=f"stage {s + 1}")
+
+
 def test_reference_golden_v2_euclid():
     """ASPP_Classifier_V2 (reference :10-37) vs ASPPv2Head."""
     from core.models.classifier import ASPP_Classifier_V2
