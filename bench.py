@@ -12,11 +12,15 @@
    640x1280 (core/datasets/build.py:21-26), logits upsampled to input
    resolution — BASELINE.json's second metric.
 
-Methodology: each timing program scores/infers N independent inputs and
-is synced by host materialization of a dependent scalar, so the
-measurement counts real chip work once per input and amortizes dispatch
-latency (this environment adds a ~30 ms relay round-trip per sync that a
-production TPU host does not pay). Per-input time = (T_N - T_1) / (N - 1).
+Methodology: each timing program scores/infers n inputs under a
+dynamic-trip-count fori_loop (ONE compiled program for every n) and is
+synced by host materialization of a dependent scalar, so the measurement
+counts real chip work once per input and amortizes dispatch latency
+(this environment adds a ~30 ms relay round-trip per sync that a
+production TPU host does not pay, with ms-scale jitter). Per-input time
+= (T_big - T_small) / (big - small) with big-small sized so the delta is
+tens of relay-jitter sigmas (small-N deltas measured here have produced
+negative times).
 
 Prints ONE JSON line; ``value``/``vs_baseline`` carry the headline
 scoring metric, extra fields carry the rest.
@@ -46,8 +50,10 @@ from halo_tpu.active.scoring import floating_region_score
 H, W, C, E = 1024, 2048, 19, 64
 A100_SCORING_MPX_S = 700.0   # analytic; see benchmarks/README.md
 A100_SEG_IMG_S = 60.0        # analytic; see benchmarks/README.md
-N_MAPS = 6                   # maps per scoring timing program
-N_INFER = 8                  # images per inference timing program
+N_MAPS = 6                   # resident map pool (HBM working set)
+N_SMALL, N_BIG = 4, 68       # scoring trip counts; delta spans 64 maps
+N_INFER = 8                  # resident image pool
+I_SMALL, I_BIG = 2, 22       # inference trip counts; delta spans 20 imgs
 SEG_HW = (640, 1280)         # reference eval input (build.py:21-26)
 
 
@@ -83,9 +89,9 @@ def bench_scoring(dtype):
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     float(chain(logits, embed, 1))  # compile + warm
-    t1 = _timed(chain, logits, embed, 1)
-    tn = _timed(chain, logits, embed, N_MAPS)
-    per_map = (tn - t1) / (N_MAPS - 1)
+    t_small = _timed(chain, logits, embed, N_SMALL)
+    t_big = _timed(chain, logits, embed, N_BIG)
+    per_map = (t_big - t_small) / (N_BIG - N_SMALL)
     return H * W / 1e6 / per_map
 
 
@@ -116,9 +122,9 @@ def bench_seg_inference():
     x = jax.random.normal(jax.random.PRNGKey(2), (N_INFER, h, w, 3),
                           jnp.float32)
     float(infer(variables, x, 1))  # compile + warm
-    t1 = _timed(infer, variables, x, 1, reps=3)
-    tn = _timed(infer, variables, x, N_INFER, reps=3)
-    per_img = (tn - t1) / (N_INFER - 1)
+    t_small = _timed(infer, variables, x, I_SMALL, reps=3)
+    t_big = _timed(infer, variables, x, I_BIG, reps=3)
+    per_img = (t_big - t_small) / (I_BIG - I_SMALL)
     return 1.0 / per_img
 
 

@@ -1,0 +1,110 @@
+"""Compare scoring-throughput harness formulations on the real chip.
+
+The production acquisition sweep scores TPU.ACTIVE_BATCH maps per
+compiled dispatch (region_selection.py), so the honest throughput number
+is per-map time inside a batched program. bench.py's fori_loop-over-a-
+pool formulation adds a dynamic-slice gather per iteration that may or
+may not fuse; this script measures the variants side by side:
+
+  A. fori_loop + dynamic_index pool (bench.py as shipped)
+  B. vmapped batch of N distinct maps, one program
+  C. single-map program, serially-dependent fori_loop (chain feedback)
+
+Run: python benchmarks/bench_scoring_harness.py  (on the TPU chip)
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from halo_tpu.active.scoring import floating_region_score
+
+H, W, C, E = 1024, 2048, 19, 64
+N = 6
+
+
+def timed(fn, *args, reps=5):
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def score1(lg, em):
+    s, _, _ = floating_region_score(lg, em, unc_type="entropy",
+                                    pur_type="radius", size=3,
+                                    num_classes=C, normalize=True)
+    return s
+
+
+def main(dtype=jnp.bfloat16):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    logits = jax.random.normal(k1, (N, H, W, C), jnp.float32).astype(dtype)
+    embed = (jax.random.normal(k2, (N, H, W, E), jnp.float32) * 0.5
+             ).astype(dtype)
+
+    # A: fori_loop + dynamic_index pool (current bench.py), LARGE trip
+    # counts so the delta (~64 maps) dwarfs the relay's ~ms-scale timing
+    # jitter that made small-N deltas unreliable (negative times seen at
+    # N=6).
+    @jax.jit
+    def loop_pool(logits, embed, n):
+        def body(i, acc):
+            lg = jax.lax.dynamic_index_in_dim(logits, i % N, 0,
+                                              keepdims=False)
+            em = jax.lax.dynamic_index_in_dim(embed, i % N, 0,
+                                              keepdims=False)
+            return acc + score1(lg, em)[0, 0]
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    float(loop_pool(logits, embed, 1))
+    t4 = timed(loop_pool, logits, embed, 4)
+    t68 = timed(loop_pool, logits, embed, 68)
+    a = (t68 - t4) / 64
+
+    # B: vmapped batch (production-shaped: region_selection scores
+    # ACTIVE_BATCH maps per dispatch); looped so the delta spans 60 maps
+    @jax.jit
+    def loop_batched(lg, em, n):
+        def body(i, acc):
+            return acc + jnp.sum(jax.vmap(score1)(lg, em)[:, 0, 0])
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    float(loop_batched(logits, embed, 1))
+    tb1 = timed(loop_batched, logits, embed, 1)
+    tb11 = timed(loop_batched, logits, embed, 11)
+    b = (tb11 - tb1) / (10 * N)
+
+    # C: serially-dependent chain on one resident map
+    @jax.jit
+    def chain(lg0, em, n):
+        def body(i, carry):
+            lg, acc = carry
+            s = score1(lg, em)
+            return lg + (s[..., None] * 1e-6).astype(lg.dtype), acc + s[0, 0]
+        _, acc = jax.lax.fori_loop(0, n, body, (lg0, jnp.float32(0)))
+        return acc
+    float(chain(logits[0], embed[0], 1))
+    tc4 = timed(chain, logits[0], embed[0], 4)
+    tc68 = timed(chain, logits[0], embed[0], 68)
+    c = (tc68 - tc4) / 64
+
+    mpx = H * W / 1e6
+    for name, t in [("A fori+pool", a), ("B vmap-batch", b),
+                    ("C serial-chain", c)]:
+        print(f"{name}: {t * 1e3:7.3f} ms/map  {mpx / t:7.1f} Mpx/s")
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices())
+    print("== bfloat16 ==")
+    main(jnp.bfloat16)
+    print("== float32 ==")
+    main(jnp.float32)

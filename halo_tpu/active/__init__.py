@@ -1,2 +1,3 @@
-from .scoring import floating_region_score, box_filter, normalize_map
+from .scoring import (floating_region_score, box_filter, normalize_map,
+                      spatial_region_score)
 from .selection import select_pixels_to_label, SelectionResult

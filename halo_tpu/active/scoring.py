@@ -194,3 +194,38 @@ def floating_region_score(logits,
         imp = normalize_map(imp)
 
     return imp * unc, imp, unc
+
+
+def spatial_region_score(logits, embed=None, ground_truth=None, *,
+                         mesh, axis: str = "model", **opts):
+    """``floating_region_score`` with the map's H axis sharded over a mesh
+    axis (default the ``model`` axis sized by ``TPU.SPATIAL_PARALLEL``).
+
+    This is the long-context analogue SURVEY.md §5 names for this CNN
+    workload: the "sequence" is the 1024x2048 spatial map, and sharding it
+    lets a score map larger than one chip's HBM (or a latency-critical
+    single image on an otherwise idle mesh) run across chips. GSPMD
+    inserts the one-row halo exchanges the (2r+1)^2 box filters need at
+    shard boundaries and an all-reduce for the min-max normalization —
+    sums see the same operands in the same order and min/max are
+    order-free, so results are bit-identical to the single-device program
+    (pinned by tests/test_parallel.py).
+
+    The shipped recipes keep the model axis at 1 (the reference workload
+    fits one chip comfortably); this path is opt-in via the mesh shape.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n = mesh.shape[axis]
+    if logits.shape[0] % n:
+        raise ValueError(
+            f"H={logits.shape[0]} not divisible by mesh axis "
+            f"'{axis}' of size {n}")
+    sh = NamedSharding(mesh, PartitionSpec(axis))
+
+    def put(x):
+        return None if x is None else jax.device_put(jnp.asarray(x), sh)
+
+    fn = jax.jit(partial(floating_region_score, **opts),
+                 out_shardings=(sh, sh, sh))
+    return fn(put(logits), put(embed), put(ground_truth))

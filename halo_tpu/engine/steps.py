@@ -51,17 +51,22 @@ def make_forward(model):
     return forward
 
 
-def _merge_stats(a: Dict, b: Dict) -> Dict:
-    """Merge batch_stats updates from two forwards. The reference updates
-    running stats sequentially through both forwards (momentum applied
-    twice per step); here the second forward's update wins — both are
-    computed from the same pre-step stats, a sub-momentum-sized difference
-    that only exists for live-BN configs (the shipped recipes freeze BN)."""
+def _merge_stats(a: Dict, b: Dict, old: Dict, decay: float = 0.9) -> Dict:
+    """Merge batch_stats updates from two forwards into the reference's
+    sequential semantics (reference: train_learners.py:410-424 — both
+    forwards run through the same BN modules, so momentum applies twice
+    per step). Flax computes each update from the SAME pre-step stats
+    ``old``: a = d*old + (1-d)*batch1, b = d*old + (1-d)*batch2 with
+    d = 0.9 (torch momentum 0.1; layers.py:118). The sequential result
+    r2 = d*a + (1-d)*batch2 is therefore exactly d*a + b - d*old.
+    Train-mode normalization uses batch stats, so only the running
+    buffers (not outputs/grads) are affected."""
     if not a:
         return b
     if not b:
         return a
-    return jax.tree_util.tree_map(lambda _x, y: y, a, b)
+    return jax.tree_util.tree_map(
+        lambda x, y, o: decay * x + y - decay * o, a, b, old)
 
 
 def make_train_step(cfg, model, tx, protocol: str) -> Callable:
@@ -98,7 +103,7 @@ def make_train_step(cfg, model, tx, protocol: str) -> Callable:
         if protocol in ("source", "source_target", "fully_sup"):
             src = batches["source"]
             src_out, stats = fwd(src["img"], rngs[0])
-            new_stats = _merge_stats(new_stats, stats)
+            new_stats = _merge_stats(new_stats, stats, state.batch_stats)
             loss_sup = cross_entropy_loss(src_out, src["label"], ignore)
             loss = loss + loss_sup
             metrics["loss_sup"] = loss_sup
@@ -112,7 +117,7 @@ def make_train_step(cfg, model, tx, protocol: str) -> Callable:
         if protocol in ("source_free", "source_target", "fully_sup"):
             tgt = batches["target"]
             tgt_out, stats = fwd(tgt["img"], rngs[1])
-            new_stats = _merge_stats(new_stats, stats)
+            new_stats = _merge_stats(new_stats, stats, state.batch_stats)
             tgt_labels = tgt["label"] if protocol == "fully_sup" \
                 else tgt["mask"]
             loss_tgt = cross_entropy_loss(tgt_out, tgt_labels, ignore)

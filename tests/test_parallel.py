@@ -56,3 +56,40 @@ def test_global_batch_psum_equals_local_sum():
         return jnp.sum(v, axis=0)
 
     np.testing.assert_allclose(np.asarray(total(xs)), x.sum(0))
+
+
+@pytest.mark.parametrize("pur_type,unc_type", [
+    ("radius", "entropy"),
+    ("ripu", "pixel_entropy"),
+])
+def test_spatial_region_score_matches_unsharded(pur_type, unc_type):
+    """Scoring with H sharded over the model axis (TPU.SPATIAL_PARALLEL)
+    must be bit-identical to the single-device program: GSPMD's halo
+    exchange feeds the box filters the same operands, and min/max
+    normalization is order-free (SURVEY.md §5 spatial-sharding note)."""
+    from halo_tpu.active.scoring import (floating_region_score,
+                                         spatial_region_score)
+
+    mesh = create_mesh(data_parallel=2, spatial_parallel=4)
+    H, W, C, E = 64, 48, 19, 8
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    logits = jax.random.normal(k1, (H, W, C), jnp.float32)
+    embed = jax.random.normal(k2, (H, W, E), jnp.float32) * 0.3
+
+    want = floating_region_score(
+        logits, embed, unc_type=unc_type, pur_type=pur_type, size=3,
+        num_classes=C, normalize=True)
+    got = spatial_region_score(
+        logits, embed, mesh=mesh, unc_type=unc_type, pur_type=pur_type,
+        size=3, num_classes=C, normalize=True)
+    for g, w in zip(got, want):
+        assert g.sharding.spec == jax.sharding.PartitionSpec("model")
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_spatial_region_score_rejects_indivisible_h():
+    from halo_tpu.active.scoring import spatial_region_score
+    mesh = create_mesh(data_parallel=2, spatial_parallel=4)
+    with pytest.raises(ValueError):
+        spatial_region_score(jnp.zeros((30, 16, 19)), jnp.zeros((30, 16, 8)),
+                             mesh=mesh)
