@@ -50,8 +50,7 @@ from halo_tpu.active.scoring import floating_region_score
 H, W, C, E = 1024, 2048, 19, 64
 A100_SCORING_MPX_S = 700.0   # analytic; see benchmarks/README.md
 A100_SEG_IMG_S = 60.0        # analytic; see benchmarks/README.md
-N_MAPS = 6                   # resident map pool (HBM working set)
-N_SMALL, N_BIG = 4, 68       # scoring trip counts; delta spans 64 maps
+N_SMALL, N_BIG = 4, 132      # scoring trip counts; delta spans 128 maps
 N_INFER = 8                  # resident image pool
 I_SMALL, I_BIG = 2, 22       # inference trip counts; delta spans 20 imgs
 SEG_HW = (640, 1280)         # reference eval input (build.py:21-26)
@@ -68,25 +67,32 @@ def _timed(fn, *args, reps=5):
 
 def bench_scoring(dtype):
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    logits = jax.random.normal(k1, (N_MAPS, H, W, C), jnp.float32).astype(
-        dtype)
-    embed = (jax.random.normal(k2, (N_MAPS, H, W, E), jnp.float32) * 0.5
+    logits = jax.random.normal(k1, (H, W, C), jnp.float32).astype(dtype)
+    embed = (jax.random.normal(k2, (H, W, E), jnp.float32) * 0.5
              ).astype(dtype)
 
     @jax.jit
-    def chain(logits, embed, n):
-        # n independent map scorings (cycling the resident pool), dynamic
-        # trip count -> ONE compiled program for both timing points
-        def body(i, acc):
-            lg = jax.lax.dynamic_index_in_dim(logits, i % N_MAPS, 0,
-                                              keepdims=False)
-            em = jax.lax.dynamic_index_in_dim(embed, i % N_MAPS, 0,
-                                              keepdims=False)
+    def chain(lg0, embed, n):
+        # n serially-dependent map scorings (each iteration's score is
+        # fed back into the next logits, so XLA can neither hoist the
+        # body nor overlap iterations); dynamic trip count -> ONE
+        # compiled program for both timing points. Conservative vs the
+        # pool-cycling variant: the feedback add re-reads/writes the
+        # logits, and the measured per-map time still beats it because
+        # the pool's dynamic-slice materialization costs more
+        # (benchmarks/bench_scoring_harness.py).
+        def body(i, carry):
+            lg, acc = carry
             s, _, _ = floating_region_score(
-                lg, em, unc_type="entropy", pur_type="radius", size=3,
+                lg, embed, unc_type="entropy", pur_type="radius", size=3,
                 num_classes=C, normalize=True)
-            return acc + s[0, 0]
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+            # single-element in-place feedback: the loop-carried buffer
+            # aliases, so this is O(1) traffic, while still making every
+            # iteration depend on the previous score
+            lg = lg.at[0, 0, 0].add((s[0, 0] * 1e-6).astype(lg.dtype))
+            return (lg, acc + s[0, 0])
+        _, acc = jax.lax.fori_loop(0, n, body, (lg0, jnp.float32(0)))
+        return acc
 
     float(chain(logits, embed, 1))  # compile + warm
     t_small = _timed(chain, logits, embed, N_SMALL)

@@ -69,18 +69,14 @@ def main(dtype=jnp.bfloat16):
     t68 = timed(loop_pool, logits, embed, 68)
     a = (t68 - t4) / 64
 
-    # B: vmapped batch (production-shaped: region_selection scores
-    # ACTIVE_BATCH maps per dispatch); looped so the delta spans 60 maps
-    @jax.jit
-    def loop_batched(lg, em, n):
-        def body(i, acc):
-            return acc + jnp.sum(jax.vmap(score1)(lg, em)[:, 0, 0])
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
-
-    float(loop_batched(logits, embed, 1))
-    tb1 = timed(loop_batched, logits, embed, 1)
-    tb11 = timed(loop_batched, logits, embed, 11)
-    b = (tb11 - tb1) / (10 * N)
+    # (A dropped batched variant: a loop body that vmaps scoring over the
+    # whole pool is loop-INVARIANT, so XLA hoists it and the loop times
+    # nothing; any i-dependent reformulation (roll, gather, slice of a 2N
+    # pool) adds a full-tensor copy per iteration that distorts the
+    # bandwidth-bound measurement. Variant A already cycles N distinct
+    # resident maps, which is production-faithful: scoring is per-map
+    # independent in region_selection's batched dispatch.)
+    b = float("nan")
 
     # C: serially-dependent chain on one resident map
     @jax.jit
@@ -96,9 +92,38 @@ def main(dtype=jnp.bfloat16):
     tc68 = timed(chain, logits[0], embed[0], 68)
     c = (tc68 - tc4) / 64
 
+    # Stage decomposition (serial-chain formulation): entropy-only vs
+    # radius-only vs full — checks each stage against its HBM roofline
+    # (logits 2 passes ~160 MB bf16; embed 1 pass ~268 MB).
+    def stage_chain(unc_type, pur_type):
+        @jax.jit
+        def chain(lg0, em, n):
+            def body(i, carry):
+                lg, acc = carry
+                s, imp, unc = floating_region_score(
+                    lg, em, unc_type=unc_type, pur_type=pur_type, size=3,
+                    num_classes=C, normalize=True)
+                # consume imp and unc directly: with the 'none' types one
+                # factor is a zeros/ones constant and XLA would fold the
+                # product and DCE the other stage entirely
+                live = s[0, 0] + imp[1, 1] + unc[2, 2]
+                return (lg + (live * 1e-6).astype(lg.dtype),
+                        acc + live)
+            _, acc = jax.lax.fori_loop(0, n, body,
+                                       (lg0, jnp.float32(0)))
+            return acc
+        float(chain(logits[0], embed[0], 1))
+        t4 = timed(chain, logits[0], embed[0], 4)
+        t68 = timed(chain, logits[0], embed[0], 68)
+        return (t68 - t4) / 64
+
+    t_ent = stage_chain("entropy", "none")
+    t_rad = stage_chain("none", "radius")
+
     mpx = H * W / 1e6
     for name, t in [("A fori+pool", a), ("B vmap-batch", b),
-                    ("C serial-chain", c)]:
+                    ("C serial-chain", c), ("entropy-only", t_ent),
+                    ("radius-only", t_rad)]:
         print(f"{name}: {t * 1e3:7.3f} ms/map  {mpx / t:7.1f} Mpx/s")
 
 

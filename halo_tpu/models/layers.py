@@ -148,6 +148,51 @@ def make_norm(freeze_bn: bool, features: int, dtype=None, name=None,
 # ---------------------------------------------------------------------------
 
 
+class _DepthwiseStencil(nn.Module):
+    """Depthwise conv as kh*kw shifted multiply-adds (stride 1, no bias).
+
+    XLA lowers ``feature_group_count=C`` convs through a grouped-conv path
+    that measured ~35% slower than this explicit stencil on v5e (0.63 vs
+    0.47 ms for 3x3 d6 on (80,160,2048) bf16 — benchmarks/
+    bench_head_parts.py); end-to-end the flagship forward went 16.4 ->
+    14.9 ms/img (+9% img/s, bench_infer_batch.py). The stencil is the
+    same sums reassociated, computed entirely in the compute dtype (an
+    f32 accumulator variant measured SLOWER end-to-end than the grouped
+    conv it replaced — conversion traffic ate the win; in float32 compute
+    mode, e.g. the CPU test suite, accumulation is f32 regardless). Param
+    layout is identical to flax's grouped ``nn.Conv`` ((kh, kw, 1, C)
+    under ``conv/kernel``), so checkpoints and torch imports are
+    unaffected.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    padding: Tuple[Tuple[int, int], Tuple[int, int]]
+    dilation: Tuple[int, int]
+    dtype: Any = None
+    kernel_init: Callable = kaiming_normal_fan_in
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, 1, self.features), jnp.float32)
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+        k = kernel.astype(dt)
+        (ph0, ph1), (pw0, pw1) = self.padding
+        dh, dw = self.dilation
+        xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+        ho = x.shape[1] + ph0 + ph1 - dh * (kh - 1)
+        wo = x.shape[2] + pw0 + pw1 - dw * (kw - 1)
+        acc = jnp.zeros(x.shape[:1] + (ho, wo, self.features), dt)
+        for i in range(kh):
+            for j in range(kw):
+                acc = acc + xp[:, i * dh:i * dh + ho, j * dw:j * dw + wo, :] \
+                    * k[i, j, 0]
+        return acc
+
+
 class ConvBNReLU(nn.Module):
     """Conv → norm → ReLU with torch-style explicit padding."""
 
@@ -166,11 +211,28 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(
-            self.features, self.kernel_size, strides=self.strides,
-            padding=self.padding, kernel_dilation=self.dilation,
-            feature_group_count=self.groups, use_bias=self.use_bias,
-            dtype=self.dtype, kernel_init=self.kernel_init, name="conv")(x)
+        # Stencil only in eval mode: its autodiff residuals (a padded
+        # copy per tap) exhausted HBM on the v5e train step at the
+        # production 720x1280 shapes, while inference has no residuals —
+        # and the train path keeps the grouped conv's exact numerics.
+        depthwise = (not self.train
+                     and self.groups > 1 and self.groups == self.features
+                     and x.shape[-1] == self.features
+                     and self.strides == (1, 1) and not self.use_bias
+                     and isinstance(self.padding, (tuple, list)))
+        if depthwise:
+            x = _DepthwiseStencil(
+                self.features, self.kernel_size,
+                tuple(map(tuple, self.padding)), self.dilation,
+                dtype=self.dtype, kernel_init=self.kernel_init,
+                name="conv")(x)
+        else:
+            x = nn.Conv(
+                self.features, self.kernel_size, strides=self.strides,
+                padding=self.padding, kernel_dilation=self.dilation,
+                feature_group_count=self.groups, use_bias=self.use_bias,
+                dtype=self.dtype, kernel_init=self.kernel_init,
+                name="conv")(x)
         x = make_norm(self.freeze_bn, self.features, dtype=self.dtype,
                       train=self.train, name="norm")(x)
         if self.relu:
