@@ -97,7 +97,10 @@ def region_uncertainty(p, unc_type: str, size: int,
     if unc_type == "oracle_acc":
         pred = jnp.argmax(p, axis=-1)
         gt = jnp.where(ground_truth == 255, pred, ground_truth)
-        p_true = jnp.take_along_axis(p, gt[..., None], axis=-1)[..., 0]
+        # one-hot contraction: take_along_axis's minor-axis gather is
+        # ~50x slower on TPU (benchmarks/bench_ce.py)
+        p_true = jnp.sum(p * jax.nn.one_hot(gt, p.shape[-1], dtype=p.dtype),
+                         axis=-1)
         return box_filter(1.0 - p_true, size)
     # 'none' plus the reference's dead 'hyperbolic'/'certainty' options,
     # which fall through to a zeros map (floating_region.py:84-91). The

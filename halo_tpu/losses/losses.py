@@ -27,9 +27,15 @@ def cross_entropy_loss(logits, labels, ignore_index=255, weight=None):
     valid = labels != ignore_index
     safe_labels = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    # One-hot contraction, NOT take_along_axis: the per-pixel gather
+    # along the minor class axis lowers catastrophically on TPU (measured
+    # 29.5 ms vs 0.57 ms for this identical-value form at (2,720,1280,19)
+    # f32 — benchmarks/bench_ce.py; the gather's scatter transpose taxes
+    # the backward the same way).
+    one_hot = jax.nn.one_hot(safe_labels, num_classes, dtype=logp.dtype)
+    nll = -jnp.sum(logp * one_hot, axis=-1)
     if weight is not None:
-        w = jnp.asarray(weight, jnp.float32)[safe_labels]
+        w = one_hot @ jnp.asarray(weight, jnp.float32)
         nll = nll * w
         denom = jnp.sum(jnp.where(valid, w, 0.0))
     else:
