@@ -17,10 +17,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from halo_tpu.config import cfg
-from halo_tpu.engine import build_learner  # noqa: F401  (must precede the
-# active import: engine.learners itself imports region_selection, and
-# importing the active module first trips the cycle)
 from halo_tpu.active.region_selection import region_selection
+from halo_tpu.engine import build_learner
 
 
 def main(cfg_path):

@@ -46,6 +46,10 @@ from ..parallel.mesh import batch_sharding
 from .scoring import floating_region_score
 from .selection import pallas_select_pixels_to_label, select_pixels_to_label
 
+# Compiled fwd+score+select programs, shared across rounds of a run
+# (keyed on model identity + mesh + every trace-time option).
+_PROGRAM_CACHE: dict = {}
+
 
 def _local_rows(garr) -> np.ndarray:
     """This process's addressable rows of a batch-sharded global array, in
@@ -99,14 +103,19 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
               else select_pixels_to_label)
 
     n_data = mesh.shape["data"] if mesh is not None else 1
-    programs = {}
 
     def get_program(size, global_batch, num_picks):
         """One compiled fwd+score+select program per (native size, batch)
-        signature; sharded over the data axis when the mesh has one."""
-        key = (size, global_batch, num_picks)
-        if key in programs:
-            return programs[key]
+        signature; sharded over the data axis when the mesh has one.
+        Cached at module level so SUBSEQUENT ROUNDS of the same run reuse
+        the compiled program instead of paying a fresh XLA compile per
+        round (minutes each through this environment's compile relay)."""
+        key = (id(model), mesh, size, global_batch, num_picks, unc_type,
+               pur_type, normalize, K, num_classes, curvature,
+               active_radius, mask_radius, needs_embed, use_pallas,
+               str(score_dtype))
+        if key in _PROGRAM_CACHE:
+            return _PROGRAM_CACHE[key]
         local = global_batch // n_data
 
         def body(variables, img, gt, mask, active, selected):
@@ -148,8 +157,8 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
                 check_vma=False)
         else:
             fn = body
-        programs[key] = jax.jit(fn)
-        return programs[key]
+        _PROGRAM_CACHE[key] = jax.jit(fn)
+        return _PROGRAM_CACHE[key]
 
     sh = batch_sharding(mesh) if mesh is not None else None
 
@@ -211,8 +220,15 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
     shard = getattr(active_loader, "shard", None)
     shard_offset = (shard[0] * (global_batch // shard[1])) if shard else 0
 
+    local_batch = global_batch // (shard[1] if shard else 1)
     for batch_no, batch in enumerate(iter(active_loader)):
         imgs = np.asarray(batch["img"])
+        if imgs.shape[0] != local_batch:
+            raise ValueError(
+                f"active_loader yielded a {imgs.shape[0]}-row batch but "
+                f"the fused program is traced for {local_batch} rows per "
+                "process — build the loader with pad_final=True (the "
+                "learner does) so trailing partial batches are padded.")
         size = tuple(int(s) for s in batch["size"][0])
         is_pad = np.asarray(batch.get("is_pad",
                                       np.zeros(imgs.shape[0], bool)))

@@ -51,6 +51,9 @@ from ..ops import hyperbolic as hyp
 # changes the argmax-based selection, but we reproduce it for map fidelity.
 _LOG19 = math.log(19.0)
 
+# jitted spatial_region_score wrappers, keyed by (mesh, axis, options)
+_SPATIAL_JIT_CACHE: dict = {}
+
 
 def box_filter(x, size: int, axes: Tuple[int, int] = (0, 1)):
     """(size x size) sliding-window sum with zero padding, separable.
@@ -229,6 +232,13 @@ def spatial_region_score(logits, embed=None, ground_truth=None, *,
     def put(x):
         return None if x is None else jax.device_put(jnp.asarray(x), sh)
 
-    fn = jax.jit(partial(floating_region_score, **opts),
-                 out_shardings=(sh, sh, sh))
+    # Cache the jitted wrapper per (mesh, axis, options): a fresh
+    # jax.jit(partial(...)) per call is a new function identity and
+    # would recompile the sharded program every invocation.
+    key = (mesh, axis, tuple(sorted(opts.items())))
+    fn = _SPATIAL_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(partial(floating_region_score, **opts),
+                     out_shardings=(sh, sh, sh))
+        _SPATIAL_JIT_CACHE[key] = fn
     return fn(put(logits), put(embed), put(ground_truth))

@@ -20,6 +20,7 @@ every 500 steps with best-mIoU checkpointing (train.py:109-115,135).
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import time
@@ -29,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..active.region_selection import region_selection
 from ..data import DataLoader, DatasetCatalog, build_dataset
 from ..models import build_segmentor
 from ..parallel import multihost
@@ -175,6 +175,19 @@ class Learner:
             yield (multihost.make_global_array(img, sh),
                    multihost.make_global_array(label, sh))
 
+    @staticmethod
+    def _accumulate_iu(triples):
+        """Sum an iterator of (inter, union, target) histogram triples;
+        (None, None, None) when the iterator is empty. The single
+        accumulation loop behind validate()/test()/_test_rich()."""
+        inter = union = target = None
+        for it, un, tg in triples:
+            if inter is None:
+                inter, union, target = it, un, tg
+            else:
+                inter, union, target = inter + it, union + un, target + tg
+        return inter, union, target
+
     def on_batch_start(self, step: int) -> bool:
         """Returns True if an active round ran (fit() then refreshes its
         loader iterators so prefetched batches don't carry stale masks)."""
@@ -244,7 +257,11 @@ class Learner:
                 pass
 
         for step in range(start, steps):
-            if preempted["flag"]:
+            # The flag is process-local (the signal may land on one host);
+            # agree globally BEFORE branching — a lone host entering the
+            # checkpoint barrier while the rest run the collective train
+            # step would deadlock both sides.
+            if multihost.any_host_flag(preempted["flag"]):
                 self._save_checkpoint("preempt.ckpt")
                 print(f"preempted at step {step}; state saved", flush=True)
                 break
@@ -289,15 +306,12 @@ class Learner:
         (train_learners.py:130-165), minus its single-GPU-only test
         aggregation bug (:652-654)."""
         loader = loader or self.val_loader()
-        inter = None
-        for i, (img, label) in enumerate(self._eval_batches(loader)):
-            if max_batches is not None and i >= max_batches:
-                break
-            it, un, tg = self.eval_step(self.state, img, label, flip=True)
-            if inter is None:
-                inter, union, target = it, un, tg
-            else:
-                inter, union, target = inter + it, union + un, target + tg
+        batches = self._eval_batches(loader)
+        if max_batches is not None:
+            batches = itertools.islice(batches, max_batches)
+        inter, union, target = self._accumulate_iu(
+            self.eval_step(self.state, img, label, flip=True)
+            for img, label in batches)
         if inter is None:
             return 0.0
         miou, macc, aacc, iou_c, _ = miou_from_histograms(inter, union,
@@ -366,10 +380,16 @@ class _ActiveMixin:
             # participates; each persists only the images its devices
             # own). The barrier orders all hosts' mask writes before any
             # host's training loader reads them.
+            # (Deferred import: region_selection pulls engine.steps, so a
+            # module-level import here is a cycle for anyone importing
+            # halo_tpu.active first.)
+            from ..active.region_selection import region_selection
             stats = region_selection(self.cfg, self.model, self.state,
                                      self.active_loader, self.active_round,
                                      mesh=self.mesh)
             multihost.sync_hosts(f"active_round_{self.active_round}")
+            # per-process disjoint-writer counts -> round totals
+            stats = multihost.sum_over_hosts(stats)
             print(f"  selected {stats['picked']} regions / "
                   f"{stats['labeled_px']} px over {stats['images']} images",
                   flush=True)
@@ -440,18 +460,12 @@ class TestLearner(Learner):
             # Plain eval shards the batch over the data mesh axis; the
             # I/U histograms reduce inside the compiled program (the psum
             # replacement for the reference's all_gather, :643-645).
-            inter = union = target = None
-            for i, (img, label) in enumerate(
-                    self._eval_batches(self.val_loader())):
-                if max_batches is not None and i >= max_batches:
-                    break
-                it, un, tg = self.eval_step(self.state, img, label,
-                                            flip=True)
-                if inter is None:
-                    inter, union, target = it, un, tg
-                else:
-                    inter, union, target = (inter + it, union + un,
-                                            target + tg)
+            batches = self._eval_batches(self.val_loader())
+            if max_batches is not None:
+                batches = itertools.islice(batches, max_batches)
+            inter, union, target = self._accumulate_iu(
+                self.eval_step(self.state, img, label, flip=True)
+                for img, label in batches)
         miou, macc, aacc, iou_c, acc_c = miou_from_histograms(
             inter, union, target)
         result = {
@@ -487,25 +501,27 @@ class TestLearner(Learner):
         loader = DataLoader(test_set, batch_size=cfg.TEST.BATCH_SIZE,
                             shuffle=False, num_workers=NUM_WORKERS,
                             seed=self.seed)
-        inter = union = target = None
-        for i, batch in enumerate(iter(loader)):
-            if max_batches is not None and i >= max_batches:
-                break
-            img = jnp.asarray(batch["img"])
-            label = jnp.asarray(batch["label"])
-            r = rich_step(self.state, img, label, flip=True)
-            it, un, tg = r["inter"], r["union"], r["target"]
-            name = (batch["name"][0].rsplit("/", 1)[-1]
-                    .rsplit("_", 1)[0] if batch.get("name") else str(i))
-            if cfg.TEST.SAVE_EMBED:
-                self._save_artifacts(r, label, name)
-            if cfg.TEST.VIZ_WRONG and i in viz_list:
-                self._viz_wrong(r, img, label, name)
-            if inter is None:
-                inter, union, target = it, un, tg
-            else:
-                inter, union, target = inter + it, union + un, target + tg
-        return inter, union, target
+        def triples():
+            for i, batch in enumerate(iter(loader)):
+                if max_batches is not None and i >= max_batches:
+                    break
+                img = jnp.asarray(batch["img"])
+                label = jnp.asarray(batch["label"])
+                r = rich_step(self.state, img, label, flip=True)
+                name = (batch["name"][0].rsplit("/", 1)[-1]
+                        .rsplit("_", 1)[0] if batch.get("name") else str(i))
+                # Every process launches the same programs (the state is
+                # sharded over the global mesh, so compute must be SPMD),
+                # but only the coordinator writes the artifact files —
+                # concurrent writers to one shared-FS path tear them.
+                if multihost.is_coordinator():
+                    if cfg.TEST.SAVE_EMBED:
+                        self._save_artifacts(r, label, name)
+                    if cfg.TEST.VIZ_WRONG and i in viz_list:
+                        self._viz_wrong(r, img, label, name)
+                yield r["inter"], r["union"], r["target"]
+
+        return self._accumulate_iu(triples())
 
     def _save_artifacts(self, r, label, name):
         """Dump embed/pred/output/label tensors (reference

@@ -64,6 +64,7 @@ def _mit_torch_to_flax(key: str):
     'patch_embed2.proj.weight'    -> ('patch_embed2', 'proj') conv
     'block3.5.mlp.dwconv.dwconv.weight' -> ('block3_5','ffn','dwconv') dwconv
     """
+    key = re.sub(r"^(backbone\.)", "", key)  # mmseg-style checkpoints
     m = re.match(r"patch_embed(\d)\.(proj|norm)\.(.*)", key)
     if m:
         s, mod, leaf = m.groups()
@@ -276,10 +277,21 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
             for k, v in blob.items()}
 
 
-def _deep_update(dst, src, label=""):
+def _deep_update(dst, src, label="", strict=False, _unmatched=None):
+    """Merge ``src`` leaves into ``dst`` in place. ``strict=True``
+    collects (and the top-level call raises on) paths absent from
+    ``dst`` instead of silently inserting them — inserting new keys into
+    a params tree corrupts it against the already-built opt_state and
+    surfaces as an opaque pytree mismatch in the first train step."""
+    top = _unmatched is None
+    if _unmatched is None:
+        _unmatched = []
     for k, v in src.items():
         if isinstance(v, dict) and k in dst and isinstance(dst[k], dict):
-            _deep_update(dst[k], v, label + "/" + str(k))
+            _deep_update(dst[k], v, label + "/" + str(k), strict,
+                         _unmatched)
+        elif k not in dst and strict:
+            _unmatched.append(label + "/" + str(k))
         else:
             if k in dst and hasattr(dst[k], "shape"):
                 if tuple(dst[k].shape) != tuple(np.shape(v)):
@@ -289,6 +301,11 @@ def _deep_update(dst, src, label=""):
                 v = np.asarray(v, dst[k].dtype) if hasattr(
                     dst[k], "dtype") else v
             dst[k] = v
+    if top and _unmatched:
+        raise ValueError(
+            f"{len(_unmatched)} checkpoint tensors have no destination in "
+            f"the model tree (wrong MODEL.NAME for these weights?): "
+            f"{_unmatched[:8]}{'...' if len(_unmatched) > 8 else ''}")
 
 
 def resolve_pretrained_weights(spec: str) -> Optional[str]:
@@ -336,11 +353,18 @@ def load_pretrained_backbone(state, spec: str):
     path = resolve_pretrained_weights(spec)
     if path is None:
         return state
-    return load_torch_module_params(state, path, "feature_extractor")
+    return load_torch_module_params(state, path, "feature_extractor",
+                                    strict=True)
 
 
-def load_torch_module_params(state, path: str, module: str):
-    """Merge one module's params from a torch checkpoint into a TrainState."""
+def load_torch_module_params(state, path: str, module: str,
+                             strict: bool = False):
+    """Merge one module's params from a torch checkpoint into a TrainState.
+
+    ``strict``: every converted tensor must land on an existing leaf
+    (used for MODEL.WEIGHTS trunk loading, where a silent miss would
+    train from random init and wreck mIoU parity). Both modes error when
+    NOTHING matches."""
     import jax
 
     sd = load_torch_checkpoint(path)
@@ -355,16 +379,28 @@ def load_torch_module_params(state, path: str, module: str):
     def to_host(tree):
         return jax.tree_util.tree_map(np.asarray, tree)
 
+    n_conv = sum(len(jax.tree_util.tree_leaves(converted[c]))
+                 for c in ("params", "frozen", "batch_stats"))
+    if n_conv == 0:
+        raise RuntimeError(
+            f"{path}: no checkpoint keys matched module '{module}' — the "
+            "checkpoint layout is not one this importer recognizes "
+            "(expected torchvision ResNet, official/mmseg MiT, or a "
+            "reference feature_extractor./classifier. state_dict). "
+            "Refusing to continue from random init.")
+
     params = to_host(state.params)
     frozen = to_host(state.frozen) if state.frozen else {}
     stats = to_host(state.batch_stats) if state.batch_stats else {}
     if converted["params"]:
         _deep_update(params.setdefault(module, {}), converted["params"],
-                     module)
+                     module, strict=strict)
     if converted["frozen"] and frozen:
         _deep_update(frozen.setdefault(module, {}), converted["frozen"],
-                     module)
+                     module, strict=strict)
     if converted["batch_stats"] and stats:
         _deep_update(stats.setdefault(module, {}),
-                     converted["batch_stats"], module)
+                     converted["batch_stats"], module, strict=strict)
+    print(f"loaded {n_conv} tensors into {module} from {path}",
+          flush=True)
     return state.replace(params=params, frozen=frozen, batch_stats=stats)

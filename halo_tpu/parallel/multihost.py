@@ -70,3 +70,35 @@ def make_global_array(local, sharding):
     if process_count() == 1:
         return jax.device_put(local, sharding)
     return jax.make_array_from_process_local_data(sharding, local)
+
+
+def any_host_flag(flag: bool) -> bool:
+    """Logical OR of a process-local boolean across hosts (plain bool in
+    single-process runs). All hosts must take the SAME branch on
+    process-local events — e.g. a SIGTERM that landed on one host —
+    before touching a barrier or a collective: a lone host entering
+    ``sync_hosts`` while the rest run the (collective) train step
+    deadlocks both sides. Multi-host cost is one 1-byte DCN allgather."""
+    if process_count() == 1:
+        return bool(flag)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.asarray([bool(flag)]))
+    return bool(np.asarray(flags).any())
+
+
+def sum_over_hosts(values: dict) -> dict:
+    """Element-wise sum of a {str: number} dict across hosts (identity in
+    single-process runs). Used so per-process counts — e.g. the
+    acquisition round's disjoint-writer stats — report round totals."""
+    if process_count() == 1:
+        return values
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    keys = sorted(values)
+    arr = np.asarray([float(values[k]) for k in keys])
+    g = np.asarray(multihost_utils.process_allgather(arr))
+    tot = g.sum(axis=0) if g.ndim > 1 else arr
+    return {k: type(values[k])(tot[i]) for i, k in enumerate(keys)}

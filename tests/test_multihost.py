@@ -170,3 +170,36 @@ def test_sharded_sweep_masks_match_single_device(mini_root, tmp_path):
     assert masks[1].keys() == masks[4].keys() and masks[1]
     for k in masks[1]:
         np.testing.assert_array_equal(masks[1][k], masks[4][k])
+
+
+def test_any_host_flag_single_process():
+    assert multihost.any_host_flag(True) is True
+    assert multihost.any_host_flag(False) is False
+
+
+def test_sum_over_hosts_single_process_identity():
+    stats = {"images": 3, "picked": 10, "labeled_px": 90}
+    assert multihost.sum_over_hosts(stats) == stats
+
+
+def test_preempt_flag_agreed_before_checkpoint(monkeypatch, mini_root,
+                                               tmp_path):
+    """The preemption branch must consult the GLOBAL flag (any_host_flag):
+    a process-local check would let one host enter the checkpoint barrier
+    while others run the collective train step — a deadlock. We assert
+    the fit loop routes through multihost.any_host_flag every step."""
+    from tests.test_engine import tiny_cfg
+    from halo_tpu.engine import build_learner
+
+    calls = {"n": 0}
+    orig = multihost.any_host_flag
+
+    def spy(flag):
+        calls["n"] += 1
+        return orig(flag)
+
+    monkeypatch.setattr(multihost, "any_host_flag", spy)
+    cfg = tiny_cfg(mini_root, tmp_path, "source")
+    learner = build_learner(cfg)
+    learner.fit(max_steps=2, val_interval=0)
+    assert calls["n"] >= 2

@@ -126,3 +126,56 @@ def test_full_checkpoint_load_into_state(mini_root, tmp_path):
     st = load_torch_module_params(st, p, "classifier")
     np.testing.assert_allclose(
         np.asarray(st.params["classifier"]["mlr"]["p_mlr"]), 0.125)
+
+
+def test_deep_update_strict_rejects_unmatched_keys():
+    """Strict merging must refuse to insert keys absent from the model
+    tree (a wrong-backbone MODEL.WEIGHTS would otherwise corrupt the
+    params pytree against the already-built opt_state)."""
+    import pytest
+
+    from halo_tpu.models.port_torch import _deep_update
+
+    dst = {"a": {"w": np.zeros((2,))}}
+    with pytest.raises(ValueError, match="no destination"):
+        _deep_update(dst, {"a": {"w": np.ones(2), "nope": np.ones(3)}},
+                     "m", strict=True)
+    # non-strict keeps the permissive resume semantics
+    dst2 = {"a": {"w": np.zeros((2,))}}
+    _deep_update(dst2, {"a": {"extra": np.ones(3)}}, "m")
+    assert "extra" in dst2["a"]
+
+
+def test_load_rejects_checkpoint_with_no_matching_keys(tmp_path):
+    """A checkpoint whose layout the importer doesn't recognize must be
+    refused loudly, not silently leave the trunk at random init."""
+    import pytest
+    import torch
+
+    from halo_tpu.engine.state import state_from_variables
+    from halo_tpu.models.port_torch import load_torch_module_params
+
+    path = str(tmp_path / "junk.pth")
+    torch.save({"totally.unrelated.weight": torch.zeros(3)}, path)
+
+    class _Tx:
+        def init(self, params):
+            return ()
+
+    import jax.numpy as jnp
+    variables = {"params": {"feature_extractor": {"conv1":
+                 {"kernel": jnp.zeros((7, 7, 3, 64))}}}}
+    state = state_from_variables(variables, _Tx())
+    with pytest.raises(RuntimeError, match="no checkpoint keys matched"):
+        load_torch_module_params(state, path, "feature_extractor")
+
+
+def test_mit_importer_strips_mmseg_backbone_prefix():
+    """mmseg-style SegFormer checkpoints prefix every key with
+    'backbone.'; the MiT name map must still resolve them."""
+    from halo_tpu.models.port_torch import _mit_torch_to_flax
+
+    plain = _mit_torch_to_flax("patch_embed1.proj.weight")
+    prefixed = _mit_torch_to_flax("backbone.patch_embed1.proj.weight")
+    assert plain is not None
+    assert prefixed == plain
