@@ -4,6 +4,11 @@ Run: python examples/quickstart.py
 (uses random weights and random data; see README for real training)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 
