@@ -374,3 +374,19 @@ def test_freeze_bn_scopes(mini_root, tmp_path):
     assert stats_paths  # HFR bn is live
     for p in stats_paths:
         assert "feature_extractor" not in p, p
+
+
+def test_source_free_protocol(mini_root, tmp_path):
+    """source_free: target-only CE on active masks + negative loss, with
+    the active round hook (reference SourceFreeLearner :272-395). The
+    loss stack must contain ONLY the target terms."""
+    cfg = tiny_cfg(mini_root, tmp_path, "source_free")
+    learner = build_learner(cfg)
+    hist = learner.fit(max_steps=3, val_interval=0)
+    assert learner.active_round == 2  # the round at step 1 ran
+    keys = set(hist[0].keys()) - {"step"}
+    assert "loss_sup_tgt" in keys and "negative_loss" in keys
+    assert "loss_sup" not in keys  # no source CE in source_free
+    assert all(np.isfinite(h["loss"]) for h in hist)
+    # after the round, selected pixels make the masked CE non-zero
+    assert hist[-1]["loss_sup_tgt"] > 0
