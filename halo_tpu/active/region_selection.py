@@ -94,6 +94,7 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
     # traffic without f32 accumulation loss (TPU.SCORING_DTYPE).
     score_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         str(getattr(cfg.TPU, "SCORING_DTYPE", "bfloat16"))]
+    want_score = bool(cfg.ACTIVE.VIZ_MASK)  # score map fetched for plots
 
     forward = make_forward(model)
 
@@ -110,7 +111,8 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
         Cached at module level so SUBSEQUENT ROUNDS of the same run reuse
         the compiled program instead of paying a fresh XLA compile per
         round (minutes each through this environment's compile relay)."""
-        key = (id(model), mesh, size, global_batch, num_picks, unc_type,
+        key = (id(model), mesh, size, global_batch, num_picks, want_score,
+               unc_type,
                pur_type, normalize, K, num_classes, curvature,
                active_radius, mask_radius, needs_embed, use_pallas,
                str(score_dtype))
@@ -142,18 +144,22 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
                     score, mask[b], gt[b], active[b], selected[b],
                     num_picks=num_picks, active_radius=active_radius,
                     mask_radius=mask_radius)
-                fields.append((score, res.active_mask.astype(jnp.uint8),
-                               res.active,
-                               res.selected, res.num_picked))
+                row = (res.active_mask.astype(jnp.uint8), res.active,
+                       res.selected, res.num_picked)
+                # the full (H,W) f32 score map is a program OUTPUT only
+                # when viz needs it — an output can't be DCE'd, and with
+                # viz off it would cost an extra 8 MB HBM write per image
+                fields.append((score,) + row if want_score else row)
+            n_out = 5 if want_score else 4
             return tuple(jnp.stack([f[i] for f in fields])
-                         for i in range(5))
+                         for i in range(n_out))
 
         if mesh is not None and n_data > 1:
             fn = jax.shard_map(
                 body, mesh=mesh,
                 in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
                           P("data")),
-                out_specs=(P("data"),) * 5,
+                out_specs=(P("data"),) * (5 if want_score else 4),
                 check_vma=False)
         else:
             fn = body
@@ -188,6 +194,7 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
     variables = state.variables()
     stats = {"images": 0, "picked": 0, "labeled_px": 0}
     io_pool = ThreadPoolExecutor(max_workers=4)
+    io_futures = []
 
     def _persist(mask, active_arr, selected_arr, mask_path, ind_path):
         save_mask_png(mask.astype(np.uint8), mask_path)
@@ -229,7 +236,14 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
                 f"the fused program is traced for {local_batch} rows per "
                 "process — build the loader with pad_final=True (the "
                 "learner does) so trailing partial batches are padded.")
-        size = tuple(int(s) for s in batch["size"][0])
+        sizes = np.asarray(batch["size"])
+        if not (sizes == sizes[0]).all():
+            raise ValueError(
+                f"batch mixes native sizes {sizes.tolist()}; the fused "
+                "program scores the whole batch at one resolution — use "
+                "a per-resolution loader (the reference handles size "
+                "per-image at batch 1, build.py:118-126)")
+        size = tuple(int(s) for s in sizes[0])
         is_pad = np.asarray(batch.get("is_pad",
                                       np.zeros(imgs.shape[0], bool)))
 
@@ -238,11 +252,13 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
             num_pixels * budget_round / per_region_pixels)
 
         prog = get_program(size, global_batch, active_regions)
-        score_s, mask_s, active_s, selected_s, picked_s = prog(
+        outs = prog(
             variables, put(imgs, img_dtype),
             put(batch["origin_label"], np.uint8),
             put(batch["origin_mask"], np.uint8), put(batch["active"]),
             put(batch["selected"]))
+        score_s = outs[0] if want_score else None
+        mask_s, active_s, selected_s, picked_s = outs[-4:]
 
         # Fetch only this process's shards (one transfer per array per
         # dispatch); rows line up with the local loader slice. The mask
@@ -251,7 +267,7 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
         active_np = _local_rows(active_s)
         selected_np = _local_rows(selected_s)
         picked_np = _local_rows(picked_s)
-        score_np = _local_rows(score_s) if cfg.ACTIVE.VIZ_MASK else None
+        score_np = _local_rows(score_s) if want_score else None
 
         for b in range(imgs.shape[0]):
             if is_pad[b]:
@@ -265,13 +281,17 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
             mask_cache.put_indicator(batch["path_to_indicator"][b],
                                      {"active": active_np[b],
                                       "selected": selected_np[b]})
-            io_pool.submit(_persist, mask_np[b], active_np[b],
-                           selected_np[b], batch["path_to_mask"][b],
-                           batch["path_to_indicator"][b])
+            io_futures.append(io_pool.submit(
+                _persist, mask_np[b], active_np[b], selected_np[b],
+                batch["path_to_mask"][b], batch["path_to_indicator"][b]))
 
             stats["images"] += 1
             stats["picked"] += int(picked_np[b])
-            stats["labeled_px"] += int(selected_np[b].sum())
+            # THIS round's labeling: the selected indicator accumulates
+            # across rounds, so subtract what came in with the batch
+            stats["labeled_px"] += (int(selected_np[b].sum())
+                                    - int(np.asarray(
+                                        batch["selected"][b]).sum()))
 
             if score_np is not None:
                 _viz(gidx, b, batch, imgs, size, score_np[b], mask_np[b])
@@ -280,4 +300,7 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
                       f"images scored")
 
     io_pool.shutdown(wait=True)  # all masks durable before training resumes
+    for f in io_futures:
+        f.result()  # surface persist failures — a silently missing mask
+        # PNG would poison any restart or other-host read
     return stats

@@ -71,7 +71,6 @@ def select_pixels_to_label(score,
     m = mask_radius
     r = active_radius
     mw = 2 * m + 1
-    rw = 2 * r + 1
 
     score = jnp.where(active, NEG_INF, score.astype(jnp.float32))
 

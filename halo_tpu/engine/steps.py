@@ -186,8 +186,6 @@ def make_rich_eval_step(cfg, model):
     ball embedding, pixel entropy and hyperbolic radius maps
     (reference: inference + save_embeddings, train_learners.py:57-92,
     :598-623, :710-715)."""
-    import math as _math
-
     from ..ops import hyperbolic as hyp
     from ..ops.resize import resize_bilinear
     from ..utils.metrics import intersection_and_union
@@ -210,10 +208,9 @@ def make_rich_eval_step(cfg, model):
         pred = jnp.argmax(p, axis=-1)
         inter, union, target = intersection_and_union(
             pred, label, num_classes, ignore)
+        from ..active.scoring import pixel_entropy
         results = {"prob": p, "pred": pred, "inter": inter, "union": union,
-                   "target": target,
-                   "entropy": jnp.sum(-p * jnp.log(p + 1e-6), axis=-1)
-                   / _math.log(19.0)}
+                   "target": target, "entropy": pixel_entropy(p)}
         if embed is not None:
             emb = embed.astype(jnp.float32)
             if flip:
