@@ -118,15 +118,20 @@ class CfgNode(dict):
             parts = key.split(".")
             node = self
             for p in parts[:-1]:
-                if p not in node:
+                if not isinstance(node, CfgNode) or p not in node:
                     raise KeyError("Non-existent key: {}".format(key))
                 node = node[p]
             leaf = parts[-1]
-            value = _decode_value(value)
-            if leaf in node:
-                value = _coerce(value, node[leaf], key)
-            elif not node.is_new_allowed():
+            if not isinstance(node, CfgNode):
                 raise KeyError("Non-existent key: {}".format(key))
+            # yacs asserts CLI-override keys exist REGARDLESS of
+            # set_new_allowed (yacs merge_from_list vs merge_from_file):
+            # a typo'd 'SOLVER.BATCH_SZIE 8' must error, not silently
+            # create a dead key while a long run trains on the default.
+            if leaf not in node:
+                raise KeyError("Non-existent key: {}".format(key))
+            value = _decode_value(value)
+            value = _coerce(value, node[leaf], key)
             dict.__setitem__(node, leaf, value)
 
     def _merge_dict(self, other, key_path):

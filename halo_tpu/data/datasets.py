@@ -78,6 +78,14 @@ def balanced_file_list(label_to_file, file_to_label, num_classes, max_iters,
     rng = np.random.RandomState(seed)
     label_to_file = [list(v) for v in label_to_file]
     ind = {i: 0 for i in range(num_classes)}
+    # Classes with no files are excluded from the draw, and the wrap is
+    # modulo len rather than the reference's len-1 — gtav.py:50-52 raises
+    # ZeroDivisionError for a single-file class and IndexError for an
+    # empty one (SURVEY.md §7-style bug, not reproduced; the sampling
+    # stream already differs because we use an explicit seeded RNG).
+    has_files = np.array([len(v) > 0 for v in label_to_file], bool)
+    if not has_files.any():
+        raise ValueError("label-info has no files for any class")
     tmp_list = []
     for _e in range(int(max_iters / sub_epoch_size) + 1):
         cur_class_dist = np.zeros(num_classes)
@@ -87,11 +95,12 @@ def balanced_file_list(label_to_file, file_to_label, num_classes, max_iters,
             else:
                 dist1 = cur_class_dist / cur_class_dist.sum()
             w = 1.0 / np.log(1 + 1e-2 + dist1)
+            w = np.where(has_files, w, 0.0)
             w = w / w.sum()
             c = rng.choice(num_classes, p=w)
             if ind[c] > (len(label_to_file[c]) - 1):
                 rng.shuffle(label_to_file[c])
-                ind[c] = ind[c] % (len(label_to_file[c]) - 1)
+                ind[c] = ind[c] % len(label_to_file[c])
             c_file = label_to_file[c][ind[c]]
             tmp_list.append(c_file)
             ind[c] += 1
@@ -259,10 +268,10 @@ class CityscapesDataSet:
         pair = np.stack([label, label_mask], axis=-1)
         if self.transform is not None:
             image, pair = self.transform(image, pair, rng)
-        if isinstance(pair, np.ndarray) and pair.ndim == 3:
-            label_out, mask_out = pair[..., 0], pair[..., 1]
-        else:  # label untouched (resize_label=False eval path)
-            label_out, mask_out = origin_label, origin_mask
+        # Every shipped transform returns the (H', W', 2) map (the
+        # resize_label=False eval path passes it through UNCHANGED rather
+        # than returning something else).
+        label_out, mask_out = pair[..., 0], pair[..., 1]
 
         return {
             "img": image,

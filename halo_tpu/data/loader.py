@@ -72,6 +72,9 @@ class DataLoader:
                 raise ValueError("shard requires drop_last or pad_final")
         self.shard = shard
         self.pad_final = pad_final
+        # hoisted off the per-sample hot path (inspect.signature per
+        # fetch); the Grain backend caches the same bool in _RngSource
+        self._rng_aware = _accepts_rng(dataset)
 
     def __len__(self):
         n = len(self.dataset)
@@ -84,9 +87,9 @@ class DataLoader:
 
     def _fetch(self, index: int):
         rng = random.Random(f"{self.seed}-{self.epoch}-{index}")
-        item = self.dataset.__getitem__(index, rng=rng) if _accepts_rng(
-            self.dataset) else self.dataset[index]
-        return item
+        if self._rng_aware:
+            return self.dataset.__getitem__(index, rng=rng)
+        return self.dataset[index]
 
     def _local_indices(self, batch: List[int]):
         return local_batch_indices(batch, self.batch_size, self.shard,

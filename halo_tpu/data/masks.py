@@ -56,8 +56,13 @@ def save_indicator(indicator: Dict[str, np.ndarray], path: str):
                     for k, v in indicator.items()}, tmp)
         os.replace(tmp, path)
     else:
-        np.savez_compressed(path if path.endswith(".npz") else path + ".npz",
-                            **indicator)
+        # same tmp+rename discipline as the .pth branch: a reader hitting
+        # a half-written zip raises BadZipFile — the torn-read race this
+        # module exists to close
+        npz = path if path.endswith(".npz") else path + ".npz"
+        tmp = npz + ".tmp.npz"
+        np.savez_compressed(tmp, **indicator)
+        os.replace(tmp, npz)
 
 
 def load_indicator(path: str) -> Dict[str, np.ndarray]:

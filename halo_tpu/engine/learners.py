@@ -276,7 +276,10 @@ class Learner:
                 try:
                     batches[k] = self._shard(next(iters[k]))
                 except StopIteration:
-                    loader.set_epoch(loader.epoch + 1)
+                    # the loader already advanced its epoch counter at
+                    # generator exhaustion (loader.py contract, pinned by
+                    # test_grain_loader) — bumping it again here skipped
+                    # every odd epoch's shuffle/RNG stream
                     iters[k] = iter(loader)
                     batches[k] = self._shard(next(iters[k]))
             self.rng, step_rng = jax.random.split(self.rng)

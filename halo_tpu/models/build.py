@@ -47,7 +47,9 @@ for _rn in ("resnettiny", "resnet50", "resnet101", "resnet152",
 def _make_mit(name):
     def build(cfg, dtype):
         from .segformer import MIT_ARCHS, MixVisionTransformer
-        return MixVisionTransformer(dtype=dtype, **MIT_ARCHS[name])
+        return MixVisionTransformer(
+            dtype=dtype, remat=bool(getattr(cfg.TPU, "REMAT", False)),
+            **MIT_ARCHS[name])
     return build
 
 

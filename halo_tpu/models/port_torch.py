@@ -253,15 +253,21 @@ def torch_state_dict_to_variables(state_dict: Dict[str, Any], module: str,
                                     "running_var": "running_var"}[leaf],
                      value)
             else:
-                # live flax nn.BatchNorm sits under a 'bn' child scope
+                # Live BN target scope: layers.BatchNorm (the torch-
+                # momentum wrapper used for trunk BN) nests a flax
+                # nn.BatchNorm under a 'bn' child scope, but 'bn1d'
+                # paths (HFR's wn_mlp) already name a RAW nn.BatchNorm
+                # scope — appending another 'bn' would strand the
+                # tensors at hfr/bn/bn/* with the model at hfr/bn/*.
+                tgt = path if kind == "bn1d" else path + ("bn",)
                 if leaf == "weight":
-                    _set(params, path + ("bn",), "scale", value)
+                    _set(params, tgt, "scale", value)
                 elif leaf == "bias":
-                    _set(params, path + ("bn",), "bias", value)
+                    _set(params, tgt, "bias", value)
                 elif leaf == "running_mean":
-                    _set(stats, path + ("bn",), "mean", value)
+                    _set(stats, tgt, "mean", value)
                 elif leaf == "running_var":
-                    _set(stats, path + ("bn",), "var", value)
+                    _set(stats, tgt, "var", value)
     return {"params": params, "frozen": frozen, "batch_stats": stats}
 
 

@@ -94,9 +94,12 @@ def test_v3plus_hyper_head_mapping():
     # Linear weights transpose (O,I) -> (I,O)
     fc1 = _leaf(out["params"], "hfr", "fc1", "kernel")
     np.testing.assert_array_equal(fc1, sd["wn_mlp.0.weight"].numpy().T)
-    # wn_mlp BN is live (bn1d) even under freeze_bn
-    assert _leaf(out["params"], "hfr", "bn", "bn", "scale").shape == (C,)
-    assert _leaf(out["batch_stats"], "hfr", "bn", "bn", "var").shape == (C,)
+    # wn_mlp BN is live (bn1d) even under freeze_bn; HFRNorm declares a
+    # RAW nn.BatchNorm named 'bn', so its tensors live at hfr/bn/* — an
+    # earlier revision double-scoped them to hfr/bn/bn/* and silently
+    # missed the model tree (caught by the randomized-BN golden)
+    assert _leaf(out["params"], "hfr", "bn", "scale").shape == (C,)
+    assert _leaf(out["batch_stats"], "hfr", "bn", "var").shape == (C,)
     np.testing.assert_allclose(_leaf(out["params"], "mlr", "p_mlr"), 0.5)
 
 

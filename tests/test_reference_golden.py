@@ -92,6 +92,20 @@ def _to_nhwc(x):
     return jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
 
 
+def _randomize_bn1d(module, seed=7):
+    """Randomize every live BatchNorm1d (HFR's wn_mlp): at torch defaults
+    (weight=1, bias=0, mean=0, var=1) flax inits identically, so a port
+    that silently fails to transfer these tensors still passes — exactly
+    the blind spot that hid the hfr/bn/bn double-scope mapping bug."""
+    gen = torch.Generator().manual_seed(seed)
+    for m in module.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            m.weight.data.normal_(1.0, 0.2, generator=gen)
+            m.bias.data.normal_(0.0, 0.2, generator=gen)
+            m.running_mean.normal_(0.0, 0.2, generator=gen)
+            m.running_var.uniform_(0.5, 2.0, generator=gen)
+
+
 def _port_and_apply(head, sd, feats_nhwc, head_kind, freeze_bn):
     variables = head.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
@@ -459,6 +473,7 @@ def test_reference_golden_v3plus_euclid(hfr, reduced):
         inplanes=2048, dilation_series=[1, 6, 12, 18],
         padding_series=[1, 6, 12, 18], num_classes=19,
         norm_layer=FrozenBatchNorm2d, hfr=hfr, reduced_channels=reduced)
+    _randomize_bn1d(ref)
     ref.eval()
     rng = np.random.default_rng(4)
     out, low = _feats(rng)
@@ -490,6 +505,7 @@ def test_reference_golden_v3plus_hyper():
         inplanes=2048, dilation_series=[1, 6, 12, 18],
         padding_series=[1, 6, 12, 18], num_classes=19,
         norm_layer=FrozenBatchNorm2d, reduced_channels=16, hfr=True)
+    _randomize_bn1d(ref)
     ref.eval()
     rng = np.random.default_rng(5)
     out, low = _feats(rng)
