@@ -53,10 +53,14 @@ class Learner:
         self.debug = bool(cfg.DEBUG)
         self.model = build_segmentor(cfg)
         dp = int(getattr(cfg.TPU, "DATA_PARALLEL", -1))
-        if dp == -1 and cfg.SOLVER.GPUS:
+        if dp == -1 and cfg.SOLVER.GPUS and multihost.process_count() == 1:
             # Drop-in reference semantics: SOLVER.GPUS lists the data-
             # parallel devices (train.py:124); cap by what exists. Set
-            # TPU.DATA_PARALLEL explicitly to override.
+            # TPU.DATA_PARALLEL explicitly to override. Single-host only:
+            # in a multi-host run a truncated device list would build a
+            # mesh excluding other hosts' chips while every process still
+            # contributes a loader shard — make_array_from_process_local_
+            # data then fails; pods use the full device set.
             dp = min(len(cfg.SOLVER.GPUS), len(jax.devices()))
         self.mesh = create_mesh(
             data_parallel=dp,
@@ -65,6 +69,11 @@ class Learner:
         self.tx, self.schedules = build_optimizer(cfg, self.num_devices)
 
         seed = cfg.SEED if cfg.SEED >= 0 else int(time.time()) % (2 ** 31)
+        # All hosts must agree on the seed: the loader shards assume every
+        # process shuffles the SAME global order, and the fallback above
+        # is wall-clock-derived (reference seeds the same way pre-spawn,
+        # train.py:97-100; DDP inherits rank-0's seed by fork).
+        seed = multihost.broadcast_seed(seed)
         self.seed = seed
         rng = jax.random.PRNGKey(seed)
         self.rng, init_rng, drop_rng = jax.random.split(rng, 3)
@@ -218,17 +227,32 @@ class Learner:
         on a shared filesystem). Barriered so no process resumes before
         the file is durable."""
         if multihost.is_coordinator():
+            # learner-level counters ride in `extra` so resume_full can
+            # renumber rounds / keep the best-mIoU watermark correctly
+            blob = {"active_round": int(self.active_round),
+                    "best_miou": float(self.best_miou)}
+            blob.update(extra or {})
             save_checkpoint(self.state,
                             os.path.join(self.cfg.SAVE_DIR, filename),
-                            extra=extra)
+                            extra=blob)
         multihost.sync_hosts(f"ckpt:{filename}")
 
     def resume_full(self, path: str):
-        """Restore the complete trainer state (params, optimizer, step) for
-        crash-restart — the Lightning .ckpt resume equivalent
-        (SURVEY.md §5 checkpoint/resume)."""
+        """Restore the complete trainer state (params, optimizer, step,
+        learner counters) for crash-restart — the Lightning .ckpt resume
+        equivalent (SURVEY.md §5 checkpoint/resume). Without the counters
+        a resumed run would re-save model_before_round_1.ckpt over the
+        real round-1 artifact and let the first post-resume validation
+        clobber best_mIoU.ckpt."""
+        from .state import load_checkpoint_blob
+
         self.state = restore_state(self.state, path)
         self.state = replicate_tree(self.state, self.mesh)
+        extra = load_checkpoint_blob(path).get("extra") or {}
+        if "active_round" in extra:
+            self.active_round = int(extra["active_round"])
+        if "best_miou" in extra:
+            self.best_miou = float(extra["best_miou"])
         return int(self.state.step)
 
     def fit(self, max_steps: Optional[int] = None,
@@ -256,48 +280,74 @@ class Learner:
             except ValueError:  # non-main thread (tests)
                 pass
 
-        for step in range(start, steps):
-            # The flag is process-local (the signal may land on one host);
-            # agree globally BEFORE branching — a lone host entering the
-            # checkpoint barrier while the rest run the collective train
-            # step would deadlock both sides.
-            if multihost.any_host_flag(preempted["flag"]):
-                self._save_checkpoint("preempt.ckpt")
-                print(f"preempted at step {step}; state saved", flush=True)
-                break
-            if self.on_batch_start(step):
-                # Active round updated masks on disk; drop prefetched
-                # batches so the new labels are picked up immediately
-                # (the reference's lazy re-read has the same staleness
-                # up to its prefetch depth, cityscapes.py:232-234).
-                iters = {k: iter(v) for k, v in loaders.items()}
-            batches = {}
-            for k, loader in loaders.items():
-                try:
-                    batches[k] = self._shard(next(iters[k]))
-                except StopIteration:
-                    # the loader already advanced its epoch counter at
-                    # generator exhaustion (loader.py contract, pinned by
-                    # test_grain_loader) — bumping it again here skipped
-                    # every odd epoch's shuffle/RNG stream
-                    iters[k] = iter(loader)
-                    batches[k] = self._shard(next(iters[k]))
-            self.rng, step_rng = jax.random.split(self.rng)
-            self.state, metrics = self.train_step(self.state, batches,
-                                                  step_rng)
-            self.log(step, metrics)
+        pending = None  # deferred (step, metrics) awaiting host sync
+        try:
+            for step in range(start, steps):
+                # The flag is process-local (the signal may land on one
+                # host); agree globally BEFORE branching — a lone host
+                # entering the checkpoint barrier while the rest run the
+                # collective train step would deadlock both sides.
+                if multihost.any_host_flag(preempted["flag"]):
+                    self._save_checkpoint("preempt.ckpt")
+                    print(f"preempted at step {step}; state saved",
+                          flush=True)
+                    break
+                if self.on_batch_start(step):
+                    # Active round updated masks on disk. Start a FRESH
+                    # epoch: simply re-iterating would replay the batches
+                    # already consumed this epoch with the same shuffle
+                    # (the loader's epoch only advances at exhaustion),
+                    # skewing the stream toward early-epoch samples.
+                    # The reference instead keeps its iterators running
+                    # with lazy mask pickup (cityscapes.py:232-234) —
+                    # our new-epoch restart trades its prefetch staleness
+                    # for a deterministic stream.
+                    for loader in loaders.values():
+                        loader.set_epoch(loader.epoch + 1)
+                    iters = {k: iter(v) for k, v in loaders.items()}
+                batches = {}
+                for k, loader in loaders.items():
+                    try:
+                        batches[k] = self._shard(next(iters[k]))
+                    except StopIteration:
+                        # the loader already advanced its epoch counter
+                        # at generator exhaustion (loader.py contract,
+                        # pinned by test_grain_loader) — bumping it again
+                        # here skipped every odd epoch's shuffle stream
+                        iters[k] = iter(loader)
+                        batches[k] = self._shard(next(iters[k]))
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, metrics = self.train_step(self.state, batches,
+                                                      step_rng)
+                # One-step-delayed logging: log() materializes scalars
+                # (float(v) is a device sync, expensive through this
+                # environment's relay); deferring it until after the NEXT
+                # step is dispatched lets host-side batch prep overlap
+                # device compute instead of stalling on every step.
+                if pending is not None:
+                    self.log(*pending)
+                pending = (step, metrics)
 
-            if val_interval and (step + 1) % val_interval == 0:
-                miou = self.validate()
-                if miou > self.best_miou:
-                    self.best_miou = miou
-                    self._save_checkpoint("best_mIoU.ckpt",
-                                          extra={"mIoU": miou, "step": step})
+                if val_interval and (step + 1) % val_interval == 0:
+                    self.log(*pending)  # keep log order ahead of eval
+                    pending = None
+                    miou = self.validate()
+                    if miou > self.best_miou:
+                        self.best_miou = miou
+                        self._save_checkpoint(
+                            "best_mIoU.ckpt",
+                            extra={"mIoU": miou, "step": step})
 
-        self._save_checkpoint("last.ckpt")
-        for sig, handler in old_handlers.items():
-            import signal as _signal
-            _signal.signal(sig, handler)
+            if pending is not None:
+                self.log(*pending)
+                pending = None
+            self._save_checkpoint("last.ckpt")
+        finally:
+            # always restore, or an exception leaves the no-op handlers
+            # installed and the process becomes un-interruptible
+            for sig, handler in old_handlers.items():
+                import signal as _signal
+                _signal.signal(sig, handler)
         return self.history
 
     def validate(self, loader: Optional[DataLoader] = None,
@@ -363,12 +413,13 @@ class _ActiveMixin:
         self._compute_active_iters()
 
     def _compute_active_iters(self):
-        cfg = self.cfg
-        data_len = cfg.SOLVER.NUM_ITER * cfg.SOLVER.BATCH_SIZE
-        denom = (cfg.SOLVER.NUM_ITER * cfg.SOLVER.BATCH_SIZE
-                 * self.num_devices)
-        self.active_iters = [int(x * data_len / denom)
-                             for x in cfg.ACTIVE.SELECT_ITER]
+        # SELECT_ITER scaled by the device count, like every other
+        # per-run iteration count. The reference's formula
+        # (train_learners.py:299-302) multiplies by dataset_len/denom
+        # with its repeated-to-NUM_ITER*BATCH dataset, which reduces to
+        # the same 1/num_devices scaling — written plainly here.
+        self.active_iters = [int(x / self.num_devices)
+                             for x in self.cfg.ACTIVE.SELECT_ITER]
         print(f"\nActive learning at iters: {self.active_iters}\n",
               flush=True)
 
@@ -469,6 +520,10 @@ class TestLearner(Learner):
             inter, union, target = self._accumulate_iu(
                 self.eval_step(self.state, img, label, flip=True)
                 for img, label in batches)
+        if inter is None:
+            raise RuntimeError(
+                "test(): the eval loader yielded no batches "
+                "(empty val split or max_batches=0)")
         miou, macc, aacc, iou_c, acc_c = miou_from_histograms(
             inter, union, target)
         result = {
@@ -508,8 +563,12 @@ class TestLearner(Learner):
             for i, batch in enumerate(iter(loader)):
                 if max_batches is not None and i >= max_batches:
                     break
-                img = jnp.asarray(batch["img"])
-                label = jnp.asarray(batch["label"])
+                # numpy (not jnp): host-local jax.Arrays can't feed a jit
+                # whose state is replicated over a multi-host mesh; numpy
+                # inputs are treated as replicated, and the unsharded
+                # loader yields identical rows on every host
+                img = np.asarray(batch["img"])
+                label = np.asarray(batch["label"])
                 r = rich_step(self.state, img, label, flip=True)
                 name = (batch["name"][0].rsplit("/", 1)[-1]
                         .rsplit("_", 1)[0] if batch.get("name") else str(i))

@@ -102,3 +102,17 @@ def sum_over_hosts(values: dict) -> dict:
     g = np.asarray(multihost_utils.process_allgather(arr))
     tot = g.sum(axis=0) if g.ndim > 1 else arr
     return {k: type(values[k])(tot[i]) for i, k in enumerate(keys)}
+
+
+def broadcast_seed(seed: int) -> int:
+    """Coordinator's seed wins on every host (identity single-process).
+    Loader sharding assumes all processes shuffle the same global order,
+    so a wall-clock-derived fallback seed must not diverge per host."""
+    if process_count() == 1:
+        return int(seed)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    agreed = multihost_utils.broadcast_one_to_all(
+        np.asarray(seed, np.int64))
+    return int(agreed)

@@ -4,6 +4,16 @@ per-class IoU table and LaTeX row; metric reduction is a compiled psum
 rather than the reference's (single-GPU-only) local aggregation
 (train_learners.py:652-654 bug, documented in SURVEY.md §7)."""
 
+import os
+
+import jax
+
+# Multi-host TPU pods: same bootstrap as train.py — without it every
+# process thinks it is the single-process coordinator, evaluates the full
+# split, and concurrently writes the same metrics/embed files.
+if int(os.environ.get("HALO_MULTIHOST", "0")):
+    jax.distributed.initialize()
+
 from halo_tpu.config import cfg
 from halo_tpu.engine import TestLearner
 from halo_tpu.utils.misc import mkdir, parse_args
