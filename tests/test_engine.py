@@ -390,3 +390,23 @@ def test_source_free_protocol(mini_root, tmp_path):
     assert all(np.isfinite(h["loss"]) for h in hist)
     # after the round, selected pixels make the masked CE non-zero
     assert hist[-1]["loss_sup_tgt"] > 0
+
+
+def test_resume_full_restores_learner_counters(mini_root, tmp_path):
+    """Preemption resume must restore active_round and best_miou: without
+    them a resumed run renumbers rounds from 1 (overwriting round
+    artifacts) and the first post-resume validation clobbers
+    best_mIoU.ckpt (reference has no preemption machinery at all)."""
+    cfg = tiny_cfg(mini_root, tmp_path, "source_target")
+    learner = build_learner(cfg)
+    learner.fit(max_steps=3, val_interval=0)
+    assert learner.active_round == 2
+    learner.best_miou = 41.5
+    learner._save_checkpoint("preempt.ckpt")
+
+    learner2 = build_learner(cfg)
+    start = learner2.resume_full(
+        os.path.join(cfg.SAVE_DIR, "preempt.ckpt"))
+    assert start == 3
+    assert learner2.active_round == 2
+    assert learner2.best_miou == 41.5
