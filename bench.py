@@ -72,26 +72,30 @@ def bench_scoring(dtype):
              ).astype(dtype)
 
     @jax.jit
-    def chain(lg0, embed, n):
+    def chain(lg0, em0, n):
         # n serially-dependent map scorings (each iteration's score is
-        # fed back into the next logits, so XLA can neither hoist the
-        # body nor overlap iterations); dynamic trip count -> ONE
-        # compiled program for both timing points. Conservative vs the
-        # pool-cycling variant: the feedback add re-reads/writes the
-        # logits, and the measured per-map time still beats it because
-        # the pool's dynamic-slice materialization costs more
-        # (benchmarks/bench_scoring_harness.py).
+        # fed back into the next logits AND embedding, so XLA can
+        # neither hoist any stage of the body — the radius stage is
+        # loop-invariant if only the logits carry — nor overlap
+        # iterations); dynamic trip count -> ONE compiled program for
+        # both timing points. Conservative vs the pool-cycling variant:
+        # the feedback add re-reads/writes the maps, and the measured
+        # per-map time still beats it because the pool's dynamic-slice
+        # materialization costs more (benchmarks/bench_scoring_harness.py).
         def body(i, carry):
-            lg, acc = carry
+            lg, em, acc = carry
             s, _, _ = floating_region_score(
-                lg, embed, unc_type="entropy", pur_type="radius", size=3,
+                lg, em, unc_type="entropy", pur_type="radius", size=3,
                 num_classes=C, normalize=True)
-            # single-element in-place feedback: the loop-carried buffer
-            # aliases, so this is O(1) traffic, while still making every
-            # iteration depend on the previous score
-            lg = lg.at[0, 0, 0].add((s[0, 0] * 1e-6).astype(lg.dtype))
-            return (lg, acc + s[0, 0])
-        _, acc = jax.lax.fori_loop(0, n, body, (lg0, jnp.float32(0)))
+            # single-element in-place feedback: the loop-carried buffers
+            # alias, so this is O(1) traffic, while still making every
+            # iteration's full chain depend on the previous score
+            d = s[0, 0] * 1e-6
+            lg = lg.at[0, 0, 0].add(d.astype(lg.dtype))
+            em = em.at[0, 0, 0].add(d.astype(em.dtype))
+            return (lg, em, acc + s[0, 0])
+        _, _, acc = jax.lax.fori_loop(0, n, body,
+                                      (lg0, em0, jnp.float32(0)))
         return acc
 
     float(chain(logits, embed, 1))  # compile + warm

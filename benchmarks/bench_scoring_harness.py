@@ -78,14 +78,20 @@ def main(dtype=jnp.bfloat16):
     # independent in region_selection's batched dispatch.)
     b = float("nan")
 
-    # C: serially-dependent chain on one resident map
+    # C: serially-dependent chain on one resident map. The feedback must
+    # reach BOTH inputs: with a logits-only carry XLA hoists the whole
+    # (loop-invariant) radius stage out of the loop and the chain times
+    # only the entropy half.
     @jax.jit
-    def chain(lg0, em, n):
+    def chain(lg0, em0, n):
         def body(i, carry):
-            lg, acc = carry
+            lg, em, acc = carry
             s = score1(lg, em)
-            return lg + (s[..., None] * 1e-6).astype(lg.dtype), acc + s[0, 0]
-        _, acc = jax.lax.fori_loop(0, n, body, (lg0, jnp.float32(0)))
+            d = s[0, 0] * 1e-6
+            return (lg.at[0, 0, 0].add(d.astype(lg.dtype)),
+                    em.at[0, 0, 0].add(d.astype(em.dtype)), acc + s[0, 0])
+        _, _, acc = jax.lax.fori_loop(0, n, body,
+                                      (lg0, em0, jnp.float32(0)))
         return acc
     float(chain(logits[0], embed[0], 1))
     tc4 = timed(chain, logits[0], embed[0], 4)
@@ -97,20 +103,24 @@ def main(dtype=jnp.bfloat16):
     # (logits 2 passes ~160 MB bf16; embed 1 pass ~268 MB).
     def stage_chain(unc_type, pur_type):
         @jax.jit
-        def chain(lg0, em, n):
+        def chain(lg0, em0, n):
             def body(i, carry):
-                lg, acc = carry
+                lg, em, acc = carry
                 s, imp, unc = floating_region_score(
                     lg, em, unc_type=unc_type, pur_type=pur_type, size=3,
                     num_classes=C, normalize=True)
                 # consume imp and unc directly: with the 'none' types one
                 # factor is a zeros/ones constant and XLA would fold the
-                # product and DCE the other stage entirely
+                # product and DCE the other stage entirely. Feed back into
+                # both inputs or the stage that ignores the carried one
+                # is loop-invariant and gets hoisted (measures ~0).
                 live = s[0, 0] + imp[1, 1] + unc[2, 2]
-                return (lg + (live * 1e-6).astype(lg.dtype),
+                d = (live * 1e-6)
+                return (lg.at[0, 0, 0].add(d.astype(lg.dtype)),
+                        em.at[0, 0, 0].add(d.astype(em.dtype)),
                         acc + live)
-            _, acc = jax.lax.fori_loop(0, n, body,
-                                       (lg0, jnp.float32(0)))
+            _, _, acc = jax.lax.fori_loop(0, n, body,
+                                          (lg0, em0, jnp.float32(0)))
             return acc
         float(chain(logits[0], embed[0], 1))
         t4 = timed(chain, logits[0], embed[0], 4)

@@ -47,8 +47,14 @@ from .scoring import floating_region_score
 from .selection import pallas_select_pixels_to_label, select_pixels_to_label
 
 # Compiled fwd+score+select programs, shared across rounds of a run
-# (keyed on model identity + mesh + every trace-time option).
+# (keyed on model identity + mesh + every trace-time option). Bounded:
+# each cached closure retains its model + compiled executable, so an
+# unbounded dict would pin every Learner ever built in this process
+# (notebooks, long test sessions). LRU-evicting at _PROGRAM_CACHE_MAX
+# keeps the cross-round reuse (a run needs a handful of signatures)
+# while letting stale models die.
 _PROGRAM_CACHE: dict = {}
+_PROGRAM_CACHE_MAX = 32
 
 
 def _local_rows(garr) -> np.ndarray:
@@ -117,6 +123,7 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
                active_radius, mask_radius, needs_embed, use_pallas,
                str(score_dtype))
         if key in _PROGRAM_CACHE:
+            _PROGRAM_CACHE[key] = _PROGRAM_CACHE.pop(key)  # LRU touch
             return _PROGRAM_CACHE[key]
         local = global_batch // n_data
 
@@ -163,6 +170,8 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
                 check_vma=False)
         else:
             fn = body
+        while len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_MAX:
+            _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
         _PROGRAM_CACHE[key] = jax.jit(fn)
         return _PROGRAM_CACHE[key]
 

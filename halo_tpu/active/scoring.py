@@ -45,6 +45,16 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import hyperbolic as hyp
+from . import pallas_radius
+
+# The fused Pallas radius kernel (pallas_radius.py) is DISABLED by
+# default: measured on v5e (benchmarks/bench_radius_kernel.py), XLA's own
+# lowering of the batched dist0 chain runs at ~101% of the embed-read
+# roofline (0.333 ms/map bf16 @1024x2048x64), while every Pallas variant
+# (MXU selector-contraction and VPU minor-axis reduce, block sizes
+# 32-256) measured ~4 ms/map — Mosaic's gridded DMA pipeline loses 12x
+# to XLA's fusion here. Kept for the record and interpret-mode tests.
+USE_PALLAS_RADIUS = False
 
 # The reference hardcodes log(19) for entropy normalization even for
 # 16-class SYNTHIA (floating_region.py:74-76,126); a constant factor never
@@ -90,15 +100,56 @@ def pixel_entropy(p):
     return jnp.sum(-p * jnp.log(p + 1e-6), axis=-1) / _LOG19
 
 
-def region_uncertainty(p, unc_type: str, size: int,
-                       ground_truth: Optional[jnp.ndarray] = None):
-    """Windowed uncertainty map (H, W) (reference :70-92, :158-163)."""
+# The one-pass entropy clamps logits to this symmetric range so that
+# exp() can run WITHOUT the usual max-subtraction (which would cost a
+# second full read of the logits tensor — see entropy_from_logits).
+# exp(+-60) is comfortably inside f32 range even after the channel sum
+# and the x*e^x product (19 * 60 * e^60 ~ 1.3e29 << 3.4e38); real
+# network logits are O(10), so the clamp never binds in practice.
+_ENTROPY_CLAMP = 60.0
+
+
+def entropy_from_logits(x, precise: bool = False):
+    """Predictive-entropy map straight from (H, W, C) logits.
+
+    precise=True reproduces the reference's literal op chain
+    (softmax -> -p*log(p+1e-6), floating_region.py:70-76), which XLA
+    lowers to TWO full passes over the logits (max+sumexp, then the
+    entropy contraction) — this is the golden-comparison path.
+
+    precise=False (production default) uses the shift-free identity
+        H = log(s) - t/s,   s = sum_i e^{x_i},  t = sum_i x_i e^{x_i}
+    (p_i = e^{x_i}/s  =>  -sum p_i log p_i = log s - t/s), with x
+    clamped to +-_ENTROPY_CLAMP so exp() is overflow-safe without
+    subtracting the per-pixel max. Both channel sums share one fused
+    read, so the (H, W, C) logits cross HBM ONCE — on a 1024x2048x19
+    map this deletes an ~80 MB pass from the bandwidth-bound scoring
+    chain (benchmarks/README.md stage split). The result differs from
+    the precise path only by the reference's +1e-6 log epsilon
+    (<~2e-5 absolute, pinned by tests/test_active.py) and is exact
+    whenever all logits lie inside the clamp.
+    """
+    if precise:
+        return pixel_entropy(jax.nn.softmax(x, axis=-1))
+    x = jnp.clip(x, -_ENTROPY_CLAMP, _ENTROPY_CLAMP)
+    e = jnp.exp(x)
+    s = jnp.sum(e, axis=-1)
+    t = jnp.sum(x * e, axis=-1)
+    return (jnp.log(s) - t / s) / _LOG19
+
+
+def region_uncertainty(x, unc_type: str, size: int,
+                       ground_truth: Optional[jnp.ndarray] = None,
+                       precise: bool = False):
+    """Windowed uncertainty map (H, W) from f32 logits
+    (reference :70-92, :158-163)."""
     if unc_type == "pixel_entropy":
-        return pixel_entropy(p)
+        return entropy_from_logits(x, precise)
     if unc_type == "entropy":
-        return box_filter(pixel_entropy(p), size)
+        return box_filter(entropy_from_logits(x, precise), size)
     if unc_type == "oracle_acc":
-        pred = jnp.argmax(p, axis=-1)
+        p = jax.nn.softmax(x, axis=-1)
+        pred = jnp.argmax(x, axis=-1)
         gt = jnp.where(ground_truth == 255, pred, ground_truth)
         # one-hot contraction: take_along_axis's minor-axis gather is
         # ~50x slower on TPU (benchmarks/bench_ce.py)
@@ -110,7 +161,7 @@ def region_uncertainty(p, unc_type: str, size: int,
     # zeros branch is NOT box-filtered in the reference only for 'none';
     # for the dead options it is filtered, but a filtered zeros map is
     # still zeros, so one branch covers all three.
-    h, w = p.shape[0], p.shape[1]
+    h, w = x.shape[0], x.shape[1]
     return jnp.zeros((h, w), jnp.float32)
 
 
@@ -144,7 +195,8 @@ def quantize_radius_map(embed, K: int, c: float = 1.0):
 
 
 @partial(jax.jit, static_argnames=("unc_type", "pur_type", "size",
-                                   "num_classes", "K", "normalize", "c"))
+                                   "num_classes", "K", "normalize", "c",
+                                   "precise"))
 def floating_region_score(logits,
                           embed=None,
                           ground_truth=None,
@@ -155,7 +207,8 @@ def floating_region_score(logits,
                           num_classes: int = 19,
                           K: int = 100,
                           normalize: bool = True,
-                          c: float = 1.0):
+                          c: float = 1.0,
+                          precise: bool = False):
     """Full region score for one image (reference: forward, :129-217).
 
     Args:
@@ -163,37 +216,60 @@ def floating_region_score(logits,
       embed: (H, W, C) Poincare embedding (needed for hyper/radius/euc_norm).
       ground_truth: (H, W) int labels (needed for oracle_* types).
       size: region window = 2*RADIUS_K + 1.
+      precise: use the reference's literal softmax-entropy op chain
+        instead of the one-pass fused formulation (entropy_from_logits);
+        value-identical up to the reference's 1e-6 log epsilon.
     Returns:
       (score, impurity, uncertainty), each (H, W) float32.
     """
-    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    x = logits.astype(jnp.float32)
 
-    unc = region_uncertainty(p, unc_type, size, ground_truth)
+    unc = region_uncertainty(x, unc_type, size, ground_truth, precise)
 
+    # argmax over raw logits == argmax over softmax (strictly monotonic
+    # per pixel); skipping the softmax keeps the purity branch a single
+    # pass over the logits.
     if pur_type == "ripu":
-        predict = jnp.argmax(p, axis=-1)
+        predict = jnp.argmax(x, axis=-1)
         imp, count = region_impurity(predict, num_classes, size)
     elif pur_type == "oracle_ripu":
         predict = jnp.where(ground_truth == 255,
-                            jnp.argmax(p, axis=-1), ground_truth)
+                            jnp.argmax(x, axis=-1), ground_truth)
         imp, count = region_impurity(predict, num_classes, size)
     elif pur_type == "hyper":
         predict = quantize_radius_map(embed, K, c)
         imp, count = region_impurity(predict, K, 3)
     elif pur_type == "radius":
-        imp = hyp.dist0(embed.astype(jnp.float32), c=c, axis=-1)
+        if (USE_PALLAS_RADIUS and not precise and embed is not None
+                and pallas_radius.supports(embed)
+                and jax.default_backend() == "tpu"):
+            # fused square+MXU-contraction+artanh kernel: the embedding
+            # (the chain's dominant HBM read) crosses memory exactly once
+            # (pallas_radius.py; bf16 TPU path only)
+            imp = pallas_radius.radius_map(embed, c=c)
+        else:
+            imp = hyp.dist0(embed.astype(jnp.float32), c=c, axis=-1)
         count = jnp.ones_like(imp)
     elif pur_type == "euc_norm":
         imp = jnp.linalg.norm(embed.astype(jnp.float32), axis=-1)
         count = jnp.ones_like(imp)
     elif pur_type == "none":
-        imp = jnp.zeros(p.shape[:2], jnp.float32)
-        count = jnp.ones(p.shape[:2], jnp.float32)
+        imp = jnp.zeros(x.shape[:2], jnp.float32)
+        count = jnp.ones(x.shape[:2], jnp.float32)
     else:
         raise NotImplementedError(
             f"Error: purity type '{pur_type}' not implemented")
 
     unc = unc / count
+
+    # Materialize both (H, W) maps exactly once before fan-out: each is
+    # consumed by min, max, AND the final combine, and XLA prefers to
+    # duplicate a purely-elementwise producer into every consumer — for
+    # 'radius' purity that re-reads the 268 MB embedding per consumer
+    # (measured +0.19 ms/map at 1024x2048 bf16, benchmarks/README.md).
+    # The barrier pins the 8.4 MB map write instead.
+    unc = jax.lax.optimization_barrier(unc)
+    imp = jax.lax.optimization_barrier(imp)
 
     if normalize:
         unc = normalize_map(unc)

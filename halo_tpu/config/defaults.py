@@ -128,6 +128,10 @@ _C.TPU.LOADER = "threads"
 # Rematerialize backbone blocks in backward (more FLOPs, much less
 # activation memory -> larger per-chip batches).
 _C.TPU.REMAT = False
+# Shifted-MAC depthwise stencil in TRAIN mode (custom VJP, layers.py:
+# depthwise_stencil). Eval always uses the stencil; False reverts
+# training to XLA's grouped-conv path.
+_C.TPU.STENCIL_TRAIN = True
 # Images per device dispatch during acquisition scoring (the reference
 # sweeps batch=1, core/train_learners.py:282-289; any value yields
 # identical masks).
@@ -135,3 +139,8 @@ _C.TPU.ACTIVE_BATCH = 4
 # Directory with dataset roots (reference hardcodes "datasets"; the catalog
 # also honors the HALO_DATASET_DIR environment variable).
 _C.TPU.DATASET_DIR = "datasets"
+# Delete SAVE_DIR/gtMask + gtIndicator after training like the reference
+# (reference train.py:147-162). Default False: the mask store is the
+# acquisition state, and keeping it makes a preempted/crashed run
+# resumable (docs/PARITY.md documents the delta).
+_C.TPU.CLEANUP_MASKS = False

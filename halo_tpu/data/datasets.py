@@ -127,7 +127,21 @@ class _SourceDataset:
             img_ids = [line.strip() for line in handle if line.strip()]
 
         if max_iters is not None:
-            info_path = osp.join(data_root, self.label_info_name)
+            # Precomputed class-frequency tables. Looked up next to the
+            # data first, then next to the list file, then the copies
+            # committed under <repo>/datasets/ (the reference ships the
+            # same pickles there, datasets/gtav_label_info.p) so a fresh
+            # checkout works before any data is staged.
+            candidates = [
+                osp.join(data_root, self.label_info_name),
+                osp.join(osp.dirname(osp.abspath(data_list)),
+                         self.label_info_name),
+                osp.join(osp.dirname(osp.dirname(osp.dirname(
+                    osp.abspath(__file__)))), "datasets",
+                    self.label_info_name),
+            ]
+            info_path = next((c for c in candidates if osp.exists(c)),
+                             candidates[0])
             label_to_file, file_to_label = pickle.load(open(info_path, "rb"))
             img_ids = balanced_file_list(
                 label_to_file, file_to_label, num_classes, max_iters,

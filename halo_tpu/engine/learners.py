@@ -41,6 +41,9 @@ from .state import (load_module_params, restore_state, save_checkpoint,
 from .steps import make_eval_step, make_train_step
 
 NUM_WORKERS = 4
+# Multi-host preemption-flag agreement cadence (steps between the 1-byte
+# DCN allgathers in fit(); see the poll comment there).
+_PREEMPT_POLL_STEPS = 10
 
 
 class Learner:
@@ -287,7 +290,15 @@ class Learner:
                 # host); agree globally BEFORE branching — a lone host
                 # entering the checkpoint barrier while the rest run the
                 # collective train step would deadlock both sides.
-                if multihost.any_host_flag(preempted["flag"]):
+                # Multi-host, the agreement is a blocking DCN allgather,
+                # so poll it every few steps (purely step-gated: every
+                # process must reach the collective on the same steps);
+                # a few steps of preemption latency is fine and the hot
+                # path stays host-sync-free between polls. Single-host
+                # the check is a local bool — keep it every step.
+                poll = (multihost.process_count() == 1
+                        or step % _PREEMPT_POLL_STEPS == 0)
+                if poll and multihost.any_host_flag(preempted["flag"]):
                     self._save_checkpoint("preempt.ckpt")
                     print(f"preempted at step {step}; state saved",
                           flush=True)

@@ -51,16 +51,24 @@ def make_forward(model):
     return forward
 
 
-def _merge_stats(a: Dict, b: Dict, old: Dict, decay: float = 0.9) -> Dict:
+def _merge_stats(a: Dict, b: Dict, old: Dict, decay: float = None) -> Dict:
     """Merge batch_stats updates from two forwards into the reference's
     sequential semantics (reference: train_learners.py:410-424 — both
     forwards run through the same BN modules, so momentum applies twice
     per step). Flax computes each update from the SAME pre-step stats
     ``old``: a = d*old + (1-d)*batch1, b = d*old + (1-d)*batch2 with
-    d = 0.9 (torch momentum 0.1; layers.py:118). The sequential result
+    d = 1 - torch momentum (layers.py:118). The sequential result
     r2 = d*a + (1-d)*batch2 is therefore exactly d*a + b - d*old.
     Train-mode normalization uses batch stats, so only the running
-    buffers (not outputs/grads) are affected."""
+    buffers (not outputs/grads) are affected.
+
+    ``decay`` is derived from the BatchNorm module constant so it cannot
+    silently desync if the momentum ever changes; the flax momentum
+    literals in classifier.py:195 / segformer.py:206 must equal this
+    same 1-m (= 0.9)."""
+    if decay is None:
+        from ..models.layers import BatchNorm
+        decay = 1.0 - BatchNorm.momentum
     if not a:
         return b
     if not b:

@@ -147,5 +147,7 @@ class Segmentor(nn.Module):
 
 
 def build_segmentor(cfg) -> Segmentor:
+    from . import layers
+    layers.STENCIL_TRAIN = bool(getattr(cfg.TPU, "STENCIL_TRAIN", True))
     return Segmentor(feature_extractor=build_feature_extractor(cfg),
                      classifier=build_classifier(cfg))

@@ -9,11 +9,17 @@ tiles best onto the MXU.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Use the shifted-MAC depthwise stencil in TRAIN mode too (via its custom
+# VJP below). Set from cfg.TPU.STENCIL_TRAIN by models.build; eval mode
+# always uses the stencil (it has no residuals to blow up).
+STENCIL_TRAIN = True
 
 # ---------------------------------------------------------------------------
 # Initializers matching torch semantics
@@ -148,6 +154,77 @@ def make_norm(freeze_bn: bool, features: int, dtype=None, name=None,
 # ---------------------------------------------------------------------------
 
 
+def _stencil_fwd_impl(x, k, padding, dilation):
+    """Shifted-MAC depthwise conv (stride 1): the forward loop shared by
+    the primal and the custom-VJP wrapper. x: (B, H, W, C), k: (kh, kw, C)
+    in the compute dtype."""
+    kh, kw = k.shape[0], k.shape[1]
+    (ph0, ph1), (pw0, pw1) = padding
+    dh, dw = dilation
+    xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    ho = x.shape[1] + ph0 + ph1 - dh * (kh - 1)
+    wo = x.shape[2] + pw0 + pw1 - dw * (kw - 1)
+    acc = jnp.zeros(x.shape[:1] + (ho, wo, x.shape[3]), x.dtype)
+    for i in range(kh):
+        for j in range(kw):
+            acc = acc + xp[:, i * dh:i * dh + ho, j * dw:j * dw + wo, :] \
+                * k[i, j]
+    return acc
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def depthwise_stencil(x, k, padding, dilation):
+    """Depthwise conv (stride 1, no bias) with a hand-written VJP.
+
+    Plain autodiff of the shifted-MAC loop saves a padded near-full-map
+    residual PER TAP (kh*kw of them), which OOM'd the v5e train step at
+    production shapes (benchmarks/README.md round-2 note) — that is why
+    the stencil used to be eval-only. This VJP saves exactly (x, k),
+    the same residual footprint as the grouped conv, and computes:
+
+      * dx: the transposed stencil — g padded by d*(k-1)-p and swept by
+        the FLIPPED kernel; another pure shifted-MAC loop, no grouped
+        conv anywhere;
+      * dk[i,j,c]: per-tap contraction sum_{b,h,w} x_pad[.. + i*dh, ..]
+        * g, accumulated in f32 (kh*kw fused map-reduces).
+    """
+    return _stencil_fwd_impl(x, k, padding, dilation)
+
+
+def _stencil_vjp_fwd(x, k, padding, dilation):
+    return _stencil_fwd_impl(x, k, padding, dilation), (x, k)
+
+
+def _stencil_vjp_bwd(padding, dilation, res, g):
+    x, k = res
+    kh, kw, _c = k.shape
+    (ph0, ph1), (pw0, pw1) = padding
+    dh, dw = dilation
+    # dx = g (padded with the transposed-conv margins) correlated with
+    # the flipped taps: dx[p,q,c] = sum_{i,j} g[p+ph0-i*dh, q+pw0-j*dw] *
+    # k[i,j,c], re-indexed so every slice start is non-negative.
+    flip = k[::-1, ::-1]
+    dx = _stencil_fwd_impl(
+        g, flip,
+        ((dh * (kh - 1) - ph0, dh * (kh - 1) - ph1),
+         (dw * (kw - 1) - pw0, dw * (kw - 1) - pw1)),
+        dilation)
+    # dk: one fused multiply+reduce per tap, f32 accumulation.
+    xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    ho, wo = g.shape[1], g.shape[2]
+    gf = g.astype(jnp.float32)
+    taps = [
+        jnp.sum(xp[:, i * dh:i * dh + ho, j * dw:j * dw + wo, :]
+                .astype(jnp.float32) * gf, axis=(0, 1, 2))
+        for i in range(kh) for j in range(kw)
+    ]
+    dk = jnp.stack(taps).reshape(kh, kw, -1).astype(k.dtype)
+    return dx.astype(x.dtype), dk
+
+
+depthwise_stencil.defvjp(_stencil_vjp_fwd, _stencil_vjp_bwd)
+
+
 class _DepthwiseStencil(nn.Module):
     """Depthwise conv as kh*kw shifted multiply-adds (stride 1, no bias).
 
@@ -179,18 +256,9 @@ class _DepthwiseStencil(nn.Module):
                             (kh, kw, 1, self.features), jnp.float32)
         dt = self.dtype or x.dtype
         x = x.astype(dt)
-        k = kernel.astype(dt)
-        (ph0, ph1), (pw0, pw1) = self.padding
-        dh, dw = self.dilation
-        xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
-        ho = x.shape[1] + ph0 + ph1 - dh * (kh - 1)
-        wo = x.shape[2] + pw0 + pw1 - dw * (kw - 1)
-        acc = jnp.zeros(x.shape[:1] + (ho, wo, self.features), dt)
-        for i in range(kh):
-            for j in range(kw):
-                acc = acc + xp[:, i * dh:i * dh + ho, j * dw:j * dw + wo, :] \
-                    * k[i, j, 0]
-        return acc
+        k = kernel.astype(dt)[:, :, 0]
+        return depthwise_stencil(x, k, tuple(map(tuple, self.padding)),
+                                 tuple(self.dilation))
 
 
 class ConvBNReLU(nn.Module):
@@ -211,15 +279,22 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # Stencil only in eval mode: its autodiff residuals (a padded
-        # copy per tap) exhausted HBM on the v5e train step at the
-        # production 720x1280 shapes, while inference has no residuals —
-        # and the train path keeps the grouped conv's exact numerics.
-        depthwise = (not self.train
+        # Eval mode always takes the stencil (no residuals to blow up);
+        # train mode takes it behind STENCIL_TRAIN via the custom VJP
+        # (depthwise_stencil), which saves only (x, k) — plain autodiff
+        # of the tap loop kept a padded map copy PER TAP and OOM'd the
+        # v5e train step at the production 720x1280 shapes (the round-2
+        # eval-only restriction this VJP lifts). The transposed-stencil
+        # dx needs pad <= dilation*(k-1), true for every head conv here.
+        depthwise = ((not self.train or STENCIL_TRAIN)
                      and self.groups > 1 and self.groups == self.features
                      and x.shape[-1] == self.features
                      and self.strides == (1, 1) and not self.use_bias
-                     and isinstance(self.padding, (tuple, list)))
+                     and isinstance(self.padding, (tuple, list))
+                     and all(max(p0, p1) <= d * (kk - 1)
+                             for (p0, p1), d, kk in
+                             zip(map(tuple, self.padding), self.dilation,
+                                 self.kernel_size)))
         if depthwise:
             x = _DepthwiseStencil(
                 self.features, self.kernel_size,

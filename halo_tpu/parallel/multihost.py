@@ -91,17 +91,35 @@ def any_host_flag(flag: bool) -> bool:
 def sum_over_hosts(values: dict) -> dict:
     """Element-wise sum of a {str: number} dict across hosts (identity in
     single-process runs). Used so per-process counts — e.g. the
-    acquisition round's disjoint-writer stats — report round totals."""
+    acquisition round's disjoint-writer stats — report round totals.
+    Integer entries ride an int64 allgather (exact at any magnitude,
+    not just below 2^53), float entries a float64 one; every process
+    sees the same dict keys, so the collective count always matches."""
     if process_count() == 1:
         return values
     import numpy as np
     from jax.experimental import multihost_utils
 
-    keys = sorted(values)
-    arr = np.asarray([float(values[k]) for k in keys])
-    g = np.asarray(multihost_utils.process_allgather(arr))
-    tot = g.sum(axis=0) if g.ndim > 1 else arr
-    return {k: type(values[k])(tot[i]) for i, k in enumerate(keys)}
+    def _gather(keys, dtype):
+        arr = np.asarray([values[k] for k in keys], dtype)
+        g = np.asarray(multihost_utils.process_allgather(arr))
+        assert g.shape == (process_count(), len(keys)), g.shape
+        return g.sum(axis=0)
+
+    int_keys = sorted(k for k, v in values.items()
+                      if isinstance(v, (int, np.integer))
+                      and not isinstance(v, bool))
+    flt_keys = sorted(k for k in values if k not in int_keys)
+    out = {}
+    if int_keys:
+        tot = _gather(int_keys, np.int64)
+        out.update({k: type(values[k])(tot[i])
+                    for i, k in enumerate(int_keys)})
+    if flt_keys:
+        tot = _gather(flt_keys, np.float64)
+        out.update({k: type(values[k])(tot[i])
+                    for i, k in enumerate(flt_keys)})
+    return out
 
 
 def broadcast_seed(seed: int) -> int:

@@ -39,7 +39,16 @@ from halo_tpu.data.datasets import ID_TO_TRAINID_19
 @pytest.fixture()
 def mini_root(tmp_path):
     """Fake cityscapes + gtav trees with 64x32 images."""
-    root = tmp_path / "datasets"
+    return build_mini_dataset(tmp_path / "datasets")
+
+
+def build_mini_dataset(root):
+    """Build the synthetic mini dataset at ``root`` (also used by the real
+    2-process multi-host test's worker subprocesses, which cannot reach
+    pytest fixtures)."""
+    import pathlib
+
+    root = pathlib.Path(root)
     cs = root / "cityscapes"
     names = []
     rng = np.random.default_rng(0)

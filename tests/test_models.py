@@ -137,22 +137,25 @@ def test_dilated_stages_touch_wide_context():
     assert feats["out"].shape == (1, 8, 8, 2048)
 
 
-def test_depthwise_stencil_matches_grouped_conv():
-    """ConvBNReLU's eval path computes depthwise convs as a shifted
-    multiply-add stencil (models/layers.py:_DepthwiseStencil, a measured
-    v5e win over XLA's grouped-conv lowering); train mode keeps the
-    grouped conv. Same params, same math: outputs must agree to f32
-    reassociation tolerance and the param tree must be layout-identical
-    so checkpoints round-trip across both paths."""
+def test_depthwise_stencil_matches_grouped_conv(monkeypatch):
+    """ConvBNReLU computes depthwise convs as a shifted multiply-add
+    stencil (models/layers.py:_DepthwiseStencil, a measured v5e win over
+    XLA's grouped-conv lowering). Same params, same math: outputs must
+    agree with the grouped-conv path to f32 reassociation tolerance and
+    the param tree must be layout-identical so checkpoints round-trip
+    across both paths."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from halo_tpu.models import layers
     from halo_tpu.models.layers import ConvBNReLU
 
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 24, 32))
     ev = ConvBNReLU(32, (3, 3), (1, 1), ((2, 2), (2, 2)), (2, 2),
                     groups=32, freeze_bn=True, train=False)
+    # grouped-conv reference: disable the train-mode stencil
+    monkeypatch.setattr(layers, "STENCIL_TRAIN", False)
     tr = ConvBNReLU(32, (3, 3), (1, 1), ((2, 2), (2, 2)), (2, 2),
                     groups=32, freeze_bn=True, train=True)
     v_ev = ev.init(jax.random.PRNGKey(1), x)
@@ -162,4 +165,53 @@ def test_depthwise_stencil_matches_grouped_conv():
     out_ev = ev.apply(v_ev, x)
     out_tr = tr.apply(v_tr, x)  # same init key -> same params
     np.testing.assert_allclose(np.asarray(out_ev), np.asarray(out_tr),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("pad,dil", [(1, 1), (2, 2), (6, 6), (0, 3)])
+def test_depthwise_stencil_custom_vjp_matches_grouped_grads(pad, dil):
+    """The stencil's hand-written VJP (layers.py:depthwise_stencil — what
+    makes the stencil usable in TRAINING without the per-tap residual
+    blow-up) must produce the same dx and dkernel as autodiff through
+    flax's grouped nn.Conv on identical params, across the head's
+    dilation/padding configurations."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from halo_tpu.models.layers import depthwise_stencil
+
+    C = 8
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 14, 18, C))
+    k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, C)) * 0.3
+    cot_key = jax.random.PRNGKey(2)
+
+    def f_stencil(x, k):
+        y = depthwise_stencil(x, k, ((pad, pad), (pad, pad)), (dil, dil))
+        return y, y.shape
+
+    def f_conv(x, k):
+        conv = nn.Conv(C, (3, 3), padding=((pad, pad), (pad, pad)),
+                       kernel_dilation=(dil, dil), feature_group_count=C,
+                       use_bias=False)
+        y = conv.apply({"params": {"kernel": k[:, :, None, :]}}, x)
+        return y, y.shape
+
+    y_s, shape_s = f_stencil(x, k)
+    y_c, shape_c = f_conv(x, k)
+    assert shape_s == shape_c
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_c),
+                               rtol=1e-5, atol=1e-6)
+
+    cot = jax.random.normal(cot_key, y_s.shape)
+    _, vjp_s = jax.vjp(lambda a, b: f_stencil(a, b)[0], x, k)
+    _, vjp_c = jax.vjp(lambda a, b: f_conv(a, b)[0], x, k)
+    dx_s, dk_s = vjp_s(cot)
+    dx_c, dk_c = vjp_c(cot)
+    np.testing.assert_allclose(np.asarray(dx_s), np.asarray(dx_c),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dk_s),
+                               np.asarray(dk_c).reshape(dk_s.shape),
                                rtol=1e-5, atol=1e-5)

@@ -17,6 +17,7 @@ if int(os.environ.get("HALO_MULTIHOST", "0")):
 
 from halo_tpu.config import cfg
 from halo_tpu.engine import build_learner
+from halo_tpu.parallel import multihost
 from halo_tpu.utils.misc import mkdir, parse_args
 
 
@@ -54,6 +55,18 @@ def main():
 
     if wandb_run is not None:
         wandb_run.finish()
+
+    # End-of-run mask-store cleanup (reference train.py:147-162 rmtree's
+    # both unconditionally). Opt-in here: retaining the store keeps the
+    # run resumable; coordinator-only so multi-host peers don't race the
+    # delete against each other.
+    if cfg.TPU.CLEANUP_MASKS and multihost.is_coordinator():
+        import shutil
+        for sub in ("gtIndicator", "gtMask"):
+            path = os.path.join(cfg.SAVE_DIR, sub)
+            if os.path.exists(path):
+                print(f"Removing {sub} directory...")
+                shutil.rmtree(path, ignore_errors=True)
 
 
 if __name__ == "__main__":
