@@ -1,7 +1,7 @@
-"""Headline benchmarks: acquisition-scoring throughput + seg inference.
+"""Headline benchmarks: acquisition scoring, seg inference, train step.
 
 1. Acquisition scoring (Mpx/sec/chip) at native Cityscapes resolution
-   (1024x2048): softmax -> windowed entropy -> hyperbolic radius ->
+   (1024x2048): one-pass entropy -> box filter -> hyperbolic radius ->
    normalize -> score (reference: FloatingRegionScore.forward,
    core/active/floating_region.py:129-217 — the per-image inner loop of
    RegionSelection, SURVEY.md §3C hot loop #2). Runs the production
@@ -11,36 +11,35 @@
    (DeepLab-v3+ ResNet-101 hyperbolic, bf16) at the reference eval input
    640x1280 (core/datasets/build.py:21-26), logits upsampled to input
    resolution — BASELINE.json's second metric.
+3. source_target train step at production shapes (src 2x720x1280 +
+   tgt 2x640x1280, bf16, reference batch 2/GPU) -> train images/sec.
 
-Methodology: each timing program scores/infers n inputs under a
-dynamic-trip-count fori_loop (ONE compiled program for every n) and is
-synced by host materialization of a dependent scalar, so the measurement
-counts real chip work once per input and amortizes dispatch latency
-(this environment adds a ~30 ms relay round-trip per sync that a
-production TPU host does not pay, with ms-scale jitter). Per-input time
-= (T_big - T_small) / (big - small) with big-small sized so the delta is
-tens of relay-jitter sigmas (small-N deltas measured here have produced
-negative times).
+Scoring methodology (batched-distinct): one program scores N DISTINCT
+maps — exactly region_selection's batched dispatch shape — and per-map
+time is the delta between an N_BIG- and an N_SMALL-map program, so
+dispatch/relay latency cancels. Distinct inputs make loop hoisting
+impossible. (The previous serial-feedback chain both allowed XLA to
+hoist the loop-invariant radius stage when only the logits carried the
+feedback — inflating throughput ~40% — and, once fixed by feeding both
+inputs back, forced a full embed copy per iteration that DEFLATED it;
+benchmarks/bench_radius_kernel.py documents the comparison.)
 
 Prints ONE JSON line; ``value``/``vs_baseline`` carry the headline
 scoring metric, extra fields carry the rest.
 
-Baselines (benchmarks/README.md "A100 baseline anchor" for the full
-derivation): the reference publishes no throughput numbers (SURVEY.md §6),
-so both baselines are analytic, anchored on per-op CPU measurements of
-the actual reference chain (scripts in benchmarks/):
-
-* scoring: the eager chain moves ~1.46 KB/px through HBM (~3.1 GB/map,
-  f64 radius per the reference head); at 1.55 TB/s peak and 60-75% eager
-  efficiency that is ~640-800 Mpx/s -> baseline 700 Mpx/s (favoring the
-  reference; its absolute zero-overhead ceiling is ~1060).
-* inference: DeepLab-v3+/R101 OS8 at 640x1280 is ~0.85 TFLOPs/image; at
-  the 70-140 TFLOP/s an A100 sustains on eager fp16 dilated convs that
-  is ~40-80 img/s -> baseline 60 img/s.
+Baselines (benchmarks/README.md "A100 baseline anchor" for derivations):
+the reference publishes no throughput numbers (SURVEY.md §6), so both
+baselines are analytic, anchored on per-op CPU measurements of the
+actual reference chain. They are UNCERTAIN by construction; the
+*_range fields carry the honest band (scoring 350-1050 Mpx/s around the
+700 point estimate; seg inference 40-80 img/s around 60) and the
+vs_*_range fields divide by it.
 """
 
+import gc
 import json
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -48,15 +47,14 @@ import jax.numpy as jnp
 from halo_tpu.active.scoring import floating_region_score
 
 H, W, C, E = 1024, 2048, 19, 64
-A100_SCORING_MPX_S = 700.0   # analytic; see benchmarks/README.md
-A100_SEG_IMG_S = 60.0        # analytic; see benchmarks/README.md
-N_SMALL, N_BIG = 4, 132      # scoring trip counts; delta spans 128 maps
+A100_SCORING_MPX_S = 700.0   # analytic; band [350, 1050]
+A100_SEG_IMG_S = 60.0        # analytic; band [40, 80]
+SEG_HW = (640, 1280)         # reference eval input (build.py:21-26)
 N_INFER = 8                  # resident image pool
 I_SMALL, I_BIG = 2, 22       # inference trip counts; delta spans 20 imgs
-SEG_HW = (640, 1280)         # reference eval input (build.py:21-26)
 
 
-def _timed(fn, *args, reps=5):
+def _timed(fn, *args, reps=7):
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -65,61 +63,70 @@ def _timed(fn, *args, reps=5):
     return min(ts)
 
 
-def bench_scoring(dtype):
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    logits = jax.random.normal(k1, (H, W, C), jnp.float32).astype(dtype)
-    embed = (jax.random.normal(k2, (H, W, E), jnp.float32) * 0.5
-             ).astype(dtype)
+def _timed_queued(fn, *args, reps=5, inner=6):
+    """Queue ``inner`` executions, sync once: the relay's ms-scale
+    dispatch jitter amortizes over inner x (program time), which
+    single-dispatch min-of-reps timing cannot achieve for ~10 ms
+    programs (measured +-3% run-to-run there vs <1% here)."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            out = fn(*args)
+        float(out)  # one true sync for the whole queue
+        best = min(best, (time.perf_counter() - t0) / inner)
+    return best
 
-    @jax.jit
-    def chain(lg0, em0, n):
-        # n serially-dependent map scorings (each iteration's score is
-        # fed back into the next logits AND embedding, so XLA can
-        # neither hoist any stage of the body — the radius stage is
-        # loop-invariant if only the logits carry — nor overlap
-        # iterations); dynamic trip count -> ONE compiled program for
-        # both timing points. Conservative vs the pool-cycling variant:
-        # the feedback add re-reads/writes the maps, and the measured
-        # per-map time still beats it because the pool's dynamic-slice
-        # materialization costs more (benchmarks/bench_scoring_harness.py).
-        def body(i, carry):
-            lg, em, acc = carry
+
+def bench_scoring(dtype, n_small, n_big):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    # generate directly in the map dtype: a full-pool f32 transient
+    # would not fit 16 GB HBM at the bf16 pool size
+    logits = jax.random.normal(k1, (n_big, H, W, C), dtype)
+    embed = jax.random.normal(k2, (n_big, H, W, E), dtype) * jnp.asarray(
+        0.5, dtype)
+
+    def prog(lgs, ems, n):
+        acc = jnp.float32(0)
+        for i in range(n):  # unrolled: n distinct maps, one program
             s, _, _ = floating_region_score(
-                lg, em, unc_type="entropy", pur_type="radius", size=3,
-                num_classes=C, normalize=True)
-            # single-element in-place feedback: the loop-carried buffers
-            # alias, so this is O(1) traffic, while still making every
-            # iteration's full chain depend on the previous score
-            d = s[0, 0] * 1e-6
-            lg = lg.at[0, 0, 0].add(d.astype(lg.dtype))
-            em = em.at[0, 0, 0].add(d.astype(em.dtype))
-            return (lg, em, acc + s[0, 0])
-        _, _, acc = jax.lax.fori_loop(0, n, body,
-                                      (lg0, em0, jnp.float32(0)))
+                lgs[i], ems[i], unc_type="entropy", pur_type="radius",
+                size=3, num_classes=C, normalize=True)
+            acc = acc + s[0, 0] + s[511, 1027]
         return acc
 
-    float(chain(logits, embed, 1))  # compile + warm
-    t_small = _timed(chain, logits, embed, N_SMALL)
-    t_big = _timed(chain, logits, embed, N_BIG)
-    per_map = (t_big - t_small) / (N_BIG - N_SMALL)
+    f_small = jax.jit(partial(prog, n=n_small))
+    f_big = jax.jit(partial(prog, n=n_big))
+    float(f_small(logits[:n_small], embed[:n_small]))  # compile + warm
+    float(f_big(logits, embed))
+    t_small = _timed_queued(f_small, logits[:n_small], embed[:n_small])
+    t_big = _timed_queued(f_big, logits, embed)
+    per_map = (t_big - t_small) / (n_big - n_small)
+    del logits, embed
+    gc.collect()
     return H * W / 1e6 / per_map
 
 
-def bench_seg_inference():
-    """Flagship forward (logits at input res) at 640x1280, bf16."""
+def _flagship(train):
     from halo_tpu.config import get_default_cfg
     from halo_tpu.models import build_segmentor
 
     cfg = get_default_cfg()
-    cfg.MODEL.NAME = "deeplabv3plus_resnet101"
+    cfg.merge_from_file("configs/gtav/source_target.yaml")
     cfg.MODEL.WEIGHTS = ""
+    cfg.resume = ""
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     model = build_segmentor(cfg)
-    h, w = SEG_HW
-    x1 = jnp.zeros((1, h, w, 3), jnp.float32)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        x1, train=False)
+        jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    return cfg, model, variables
+
+
+def bench_seg_inference():
+    """Flagship forward (logits at input res) at 640x1280, bf16."""
+    _cfg, model, variables = _flagship(train=False)
+    h, w = SEG_HW
 
     @jax.jit
     def infer(variables, x, n):
@@ -138,19 +145,73 @@ def bench_seg_inference():
     return 1.0 / per_img
 
 
+def bench_train_step(n_steps=10):
+    """source_target step at production shapes (2x720x1280 src +
+    2x640x1280 tgt, bf16) -> images/sec/chip (4 images per step). The
+    ~300 ms step dwarfs the relay's ~30 ms dispatch latency, so a plain
+    timed loop with one final sync is accurate to ~1%."""
+    import numpy as np
+
+    from halo_tpu.engine.optim import build_optimizer
+    from halo_tpu.engine.state import state_from_variables
+    from halo_tpu.engine.steps import make_train_step
+
+    cfg, model, variables = _flagship(train=True)
+    tx, _ = build_optimizer(cfg, 1)
+    state = state_from_variables(variables, tx)
+    step = jax.jit(make_train_step(cfg, model, tx, "source_target"),
+                   donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    B = 2
+    batch = {
+        "source": {
+            "img": jnp.asarray(rng.normal(size=(B, 720, 1280, 3)),
+                               jnp.float32),
+            "label": jnp.asarray(rng.integers(0, 19, (B, 720, 1280)),
+                                 jnp.int32)},
+        "target": {
+            "img": jnp.asarray(rng.normal(size=(B, 640, 1280, 3)),
+                               jnp.float32),
+            "mask": jnp.asarray(rng.integers(0, 19, (B, 640, 1280)),
+                                jnp.int32)},
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    float(metrics["loss"])  # compile + warm
+    state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    float(metrics["loss"])
+
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, metrics = step(state, batch, jax.random.PRNGKey(4 + i))
+        float(metrics["loss"])
+        best = min(best, (time.perf_counter() - t0) / n_steps)
+    return 2 * B / best
+
+
 def main():
-    mpx_bf16 = bench_scoring(jnp.bfloat16)  # production default
-    mpx_f32 = bench_scoring(jnp.float32)
+    mpx_bf16 = bench_scoring(jnp.bfloat16, 2, 18)  # production default
+    mpx_f32 = bench_scoring(jnp.float32, 2, 8)
     img_s = bench_seg_inference()
+    train_img_s = bench_train_step()
 
     print(json.dumps({
         "metric": "acquisition_scoring_throughput",
         "value": round(mpx_bf16, 1),
         "unit": "Mpx/sec/chip",
         "vs_baseline": round(mpx_bf16 / A100_SCORING_MPX_S, 2),
+        # the A100 baselines are analytic (no publishable reference
+        # numbers exist); the ranges carry their honest uncertainty
+        "vs_baseline_range": [round(mpx_bf16 / 1050.0, 2),
+                              round(mpx_bf16 / 350.0, 2)],
         "scoring_f32_mpx_s": round(mpx_f32, 1),
         "seg_img_per_s_640x1280": round(img_s, 2),
         "seg_vs_baseline": round(img_s / A100_SEG_IMG_S, 2),
+        "seg_vs_baseline_range": [round(img_s / 80.0, 2),
+                                  round(img_s / 40.0, 2)],
+        "train_img_per_s": round(train_img_s, 2),
     }))
 
 

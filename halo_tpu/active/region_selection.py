@@ -43,7 +43,7 @@ from ..engine.steps import make_forward
 from ..ops.resize import resize_bilinear
 from ..parallel import multihost
 from ..parallel.mesh import batch_sharding
-from .scoring import floating_region_score
+from .scoring import floating_region_score, fused_upsample_region_score
 from .selection import pallas_select_pixels_to_label, select_pixels_to_label
 
 # Compiled fwd+score+select programs, shared across rounds of a run
@@ -104,6 +104,7 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
 
     forward = make_forward(model)
 
+    use_fused = bool(getattr(cfg.TPU, "FUSED_UPSAMPLE", True))
     use_pallas = (bool(getattr(cfg.TPU, "PALLAS_SELECTION", True))
                   and jax.default_backend() == "tpu")
     select = (pallas_select_pixels_to_label if use_pallas
@@ -121,7 +122,7 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
                unc_type,
                pur_type, normalize, K, num_classes, curvature,
                active_radius, mask_radius, needs_embed, use_pallas,
-               str(score_dtype))
+               use_fused, str(score_dtype))
         if key in _PROGRAM_CACHE:
             _PROGRAM_CACHE[key] = _PROGRAM_CACHE.pop(key)  # LRU touch
             return _PROGRAM_CACHE[key]
@@ -135,18 +136,38 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
             gt = gt.astype(jnp.int32)
             mask = mask.astype(jnp.int32)
             out, aux = forward(variables, img, False)
-            out = resize_bilinear(out.astype(jnp.float32), size)
-            out = out.astype(score_dtype)
-            if needs_embed and aux is not None:
-                aux = resize_bilinear(aux.astype(jnp.float32), size)
-                aux = aux.astype(score_dtype)
+            gt_needed = (unc_type == "oracle_acc"
+                         or pur_type == "oracle_ripu")
+            if not use_fused:
+                out = resize_bilinear(out.astype(jnp.float32), size)
+                out = out.astype(score_dtype)
+                if needs_embed and aux is not None:
+                    aux = resize_bilinear(aux.astype(jnp.float32), size)
+                    aux = aux.astype(score_dtype)
             fields = []
             for b in range(local):  # unrolled at trace time
-                score, _, _ = floating_region_score(
-                    out[b], aux[b] if aux is not None else None, gt[b],
-                    unc_type=unc_type, pur_type=pur_type,
-                    size=2 * active_radius + 1, num_classes=num_classes,
-                    K=K, normalize=normalize, c=curvature)
+                if use_fused:
+                    # native logits/embedding never materialize: the
+                    # upsample is folded into the per-pixel score stage
+                    # (fused_upsample_region_score; ULP-equal maps,
+                    # bit-equal masks)
+                    score, _, _ = fused_upsample_region_score(
+                        out[b],
+                        (aux[b] if (needs_embed and aux is not None)
+                         else None),
+                        size, gt[b] if gt_needed else None,
+                        score_dtype=score_dtype, unc_type=unc_type,
+                        pur_type=pur_type, size=2 * active_radius + 1,
+                        num_classes=num_classes, K=K,
+                        normalize=normalize, c=curvature)
+                else:
+                    score, _, _ = floating_region_score(
+                        out[b], aux[b] if aux is not None else None,
+                        gt[b],
+                        unc_type=unc_type, pur_type=pur_type,
+                        size=2 * active_radius + 1,
+                        num_classes=num_classes,
+                        K=K, normalize=normalize, c=curvature)
                 res = select(
                     score, mask[b], gt[b], active[b], selected[b],
                     num_picks=num_picks, active_radius=active_radius,

@@ -132,6 +132,13 @@ _C.TPU.REMAT = False
 # depthwise_stencil). Eval always uses the stencil; False reverts
 # training to XLA's grouped-conv path.
 _C.TPU.STENCIL_TRAIN = True
+# Fold the acquisition sweep's native-res upsample into the score stage
+# (fused_upsample_region_score): the (H, W, C) native logits/embedding
+# never materialize in HBM (~700 MB/image saved); score maps agree with
+# the materializing path to f32 ULP and greedy masks bit-for-bit
+# (tests/test_active.py). False reverts to resize-then-score (reference
+# structure, build.py:122-144).
+_C.TPU.FUSED_UPSAMPLE = True
 # Images per device dispatch during acquisition scoring (the reference
 # sweeps batch=1, core/train_learners.py:282-289; any value yields
 # identical masks).

@@ -317,6 +317,79 @@ def test_multi_round_accumulation():
     np.testing.assert_array_equal(m2[keep], m1[keep])
 
 
+@pytest.mark.parametrize("unc,pur", [
+    ("entropy", "radius"), ("entropy", "ripu"), ("pixel_entropy", "hyper"),
+    ("oracle_acc", "oracle_ripu"), ("entropy", "euc_norm")])
+def test_fused_upsample_scoring_bitequal(unc, pur):
+    """fused_upsample_region_score (the production sweep's default,
+    TPU.FUSED_UPSAMPLE) must reproduce the materializing
+    resize->cast->score path: same interpolation contractions
+    (row-sliced), same dtype casts, same _score_tail. Score maps agree
+    to f32 ULP (the per-pixel map math runs on row blocks vs the full
+    map, so reduction order can differ — observed max ~5e-7) and the
+    GREEDY MASKS — the artifact that feeds training — are bit-equal."""
+    import jax.numpy as jnp
+    from halo_tpu.active.scoring import fused_upsample_region_score
+    from halo_tpu.ops.resize import resize_bilinear
+
+    rng = np.random.default_rng(11)
+    C, E = 19, 16
+    native = (80, 128)
+    lg_in = jnp.asarray(rng.normal(size=(40, 64, C)) * 2, jnp.bfloat16)
+    em_in = jnp.asarray(rng.normal(size=(20, 32, E)) * 0.4, jnp.bfloat16)
+    gt = jnp.asarray(rng.integers(0, C, native), jnp.int32)
+
+    out = resize_bilinear(lg_in.astype(jnp.float32), native)
+    out = out.astype(jnp.bfloat16)
+    aux = resize_bilinear(em_in.astype(jnp.float32), native)
+    aux = aux.astype(jnp.bfloat16)
+    want_s, want_i, want_u = floating_region_score(
+        out, aux, gt, unc_type=unc, pur_type=pur, size=3, num_classes=C,
+        K=50, normalize=True)
+
+    got_s, got_i, got_u = fused_upsample_region_score(
+        lg_in, em_in, native, gt, score_dtype=jnp.bfloat16, block_rows=16,
+        unc_type=unc, pur_type=pur, size=3, num_classes=C, K=50,
+        normalize=True)
+
+    for got, want in ((got_s, want_s), (got_i, want_i), (got_u, want_u)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=2e-6)
+
+    active_mask = jnp.full(native, 255, jnp.int32)
+    zeros = jnp.zeros(native, bool)
+    res_w = select_pixels_to_label(want_s, active_mask, gt, zeros, zeros,
+                                   num_picks=25, active_radius=1,
+                                   mask_radius=3)
+    res_g = select_pixels_to_label(got_s, active_mask, gt, zeros, zeros,
+                                   num_picks=25, active_radius=1,
+                                   mask_radius=3)
+    np.testing.assert_array_equal(np.asarray(res_g.active_mask),
+                                  np.asarray(res_w.active_mask))
+    np.testing.assert_array_equal(np.asarray(res_g.selected),
+                                  np.asarray(res_w.selected))
+
+
+def test_fused_upsample_native_passthrough():
+    """When the model output is already at native size (resize no-op),
+    the fused path must still score identically."""
+    import jax.numpy as jnp
+    from halo_tpu.active.scoring import fused_upsample_region_score
+
+    rng = np.random.default_rng(12)
+    native = (32, 64)
+    lg = jnp.asarray(rng.normal(size=(32, 64, 19)), jnp.bfloat16)
+    em = jnp.asarray(rng.normal(size=(32, 64, 8)) * 0.4, jnp.bfloat16)
+    want_s, _, _ = floating_region_score(
+        lg, em, None, unc_type="entropy", pur_type="radius", size=3,
+        normalize=True)
+    got_s, _, _ = fused_upsample_region_score(
+        lg, em, native, None, score_dtype=jnp.bfloat16, block_rows=8,
+        unc_type="entropy", pur_type="radius", size=3, normalize=True)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=0, atol=2e-6)
+
+
 def test_bf16_scoring_envelope_and_pick_agreement():
     """TPU.SCORING_DTYPE='bfloat16' feeds bf16 maps to the (f32-accumulating)
     score chain. The score map must stay inside a tight envelope of the f32
@@ -349,7 +422,10 @@ def test_bf16_scoring_envelope_and_pick_agreement():
     s16, sel16 = outs["bfloat16"]
     # normalized score in [0,1]: bf16 inputs stay within a small absolute
     # envelope (bf16 carries ~3 significant digits; the product of two
-    # normalized maps lands around 5e-2 worst-case)
+    # normalized maps lands around 5e-2 worst-case). Intermediate maps
+    # stay f32 (scoring._map_dtype): 16-bit INTERMEDIATE storage was
+    # tried and rejected — no measured speedup, and bf16 storage drove
+    # this fixture to mean 8e-3 / pick-IoU 0.71.
     assert np.max(np.abs(s32 - s16)) < 8e-2
     assert np.mean(np.abs(s32 - s16)) < 2e-3
     inter = np.logical_and(sel32, sel16).sum()
