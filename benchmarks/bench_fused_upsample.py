@@ -32,13 +32,16 @@ C, E = 19, 64
 NS, NB = 2, 10
 
 
-def timed(fn, *a, reps=7):
-    ts = []
+def timed(fn, *a, reps=5, inner=6):
+    # queued-dispatch timing: see bench.py:_timed_queued
+    best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(fn(*a))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+        for _ in range(inner):
+            out = fn(*a)
+        float(out)
+        best = min(best, (time.perf_counter() - t0) / inner)
+    return best
 
 
 def one_materializing(lg, em):

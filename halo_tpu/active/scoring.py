@@ -443,19 +443,22 @@ def fused_upsample_region_score(logits_in, embed_in=None, native_hw=None,
     while H % blk:
         blk -= 1
 
-    from ..ops.resize import _interp_matrix
+    from ..ops.resize import _contract_w, _interp_matrix
 
     def interp_rows(src, r0):
         """Rows [r0, r0+blk) of resize_bilinear(src, (H, W)): the same
-        contractions with the row matrix sliced (bit-equal per row)."""
+        (banded) contractions with the row matrix sliced statically."""
         in_h, in_w = src.shape[0], src.shape[1]
         if (in_h, in_w) == (H, W):
-            return jax.lax.dynamic_slice_in_dim(src, r0, blk, 0)
-        mh = jnp.asarray(_interp_matrix(H, in_h), jnp.float32)
-        mw = jnp.asarray(_interp_matrix(W, in_w), jnp.float32)
-        mh_b = jax.lax.dynamic_slice_in_dim(mh, r0, blk, 0)
-        y = jnp.einsum("oh,hwc->owc", mh_b, src)
-        return jnp.einsum("pw,hwc->hpc", mw, y)
+            return src[r0:r0 + blk]
+        import numpy as np
+        m = _interp_matrix(H, in_h)[r0:r0 + blk]
+        nz = np.nonzero(m.any(axis=0))[0]
+        i0, i1 = int(nz[0]), int(nz[-1]) + 1   # contiguous input band
+        y = jnp.einsum("oh,hwc->owc", jnp.asarray(m[:, i0:i1],
+                                                  jnp.float32),
+                       src[i0:i1])
+        return _contract_w(y, W, in_w, jnp.float32)
 
     lg32 = logits_in.astype(jnp.float32)
     needs_embed = pur_type in ("hyper", "radius", "euc_norm")
@@ -469,13 +472,18 @@ def fused_upsample_region_score(logits_in, embed_in=None, native_hw=None,
         lg = interp_rows(lg32, r0).astype(score_dtype)
         em = (interp_rows(em32, r0).astype(score_dtype)
               if em32 is not None else None)
-        gt = (jax.lax.dynamic_slice_in_dim(ground_truth, r0, blk, 0)
+        gt = (ground_truth[r0:r0 + blk]
               if ground_truth is not None else None)
         return _pixel_maps(lg, em, gt, unc_type=unc_type,
                            pur_type=pur_type, c=c, precise=precise)
 
-    blocks = jax.lax.map(block_fn, jnp.arange(H // blk) * blk)
-    pix = {k: v.reshape((H, W) + v.shape[3:]) for k, v in blocks.items()}
+    # statically unrolled blocks: block row offsets are trace-time
+    # constants, so both interpolation contractions stay BANDED (the
+    # lax.map formulation forced a dense W contraction per block and
+    # measured SLOWER than materializing; benchmarks/README.md)
+    blocks = [block_fn(r0) for r0 in range(0, H, blk)]
+    pix = {k: jnp.concatenate([b[k] for b in blocks], axis=0)
+           for k in blocks[0]}
     return _score_tail(pix, (H, W), unc_type=unc_type, pur_type=pur_type,
                        size=size, num_classes=num_classes, K=K,
                        normalize=normalize)

@@ -141,7 +141,10 @@ _C.TPU.STENCIL_TRAIN = True
 _C.TPU.FUSED_UPSAMPLE = True
 # Images per device dispatch during acquisition scoring (the reference
 # sweeps batch=1, core/train_learners.py:282-289; any value yields
-# identical masks).
+# identical masks). Values > 1 require every image in a dispatch to
+# share one native resolution (true for Cityscapes/ACDC target sets);
+# for mixed-resolution active sets use ACTIVE_BATCH 1, which matches
+# the reference's per-image size handling (build.py:118-126).
 _C.TPU.ACTIVE_BATCH = 4
 # Directory with dataset roots (reference hardcodes "datasets"; the catalog
 # also honors the HALO_DATASET_DIR environment variable).

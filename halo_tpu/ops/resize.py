@@ -8,11 +8,19 @@ half-pixel-centers (align_corners=False), so this module builds the exact
 align-corners linear operator instead.
 
 TPU-first design: 2-D bilinear interpolation is separable, so the resize is
-two dense contractions ``M_h @ X @ M_w^T`` with static interpolation matrices
-baked at trace time. Both contractions run on the MXU and are exact linear
-algebra (no gathers, which are slow on TPU). For a 640x1280 -> 1024x2048
-upsample of a 19-channel map this is ~67 GFLOP of matmul: sub-millisecond on
-a v5e chip and usually fused with the surrounding computation by XLA.
+two contractions ``M_h @ X @ M_w^T`` with static interpolation matrices
+baked at trace time; both run on the MXU (no gathers, which are slow on
+TPU). The matrices are BANDED (2 taps per output row), so large outputs
+contract block-wise against only each block's contiguous input band —
+measured bit-identical to the dense matmul on the TPU backend and
+f32-ULP-identical in general (each output sums the same two real taps
+plus exact zeros; a backend may group the pair into an FMA differently)
+while skipping ~99% of the dense FLOPs. Measured on v5e for the acquisition sweep's
+640x1280 -> 1024x2048 19-channel upsample: dense 0.721 ms, banded
+0.182 ms, verified bit-equal on chip (benchmarks/bench_fused_upsample.py
+exercises the consuming path; a 2-tap gather formulation measured 2.6x
+SLOWER than even the dense matmul and is not value-safe at exact-hit
+rows — recorded negative result).
 """
 
 from __future__ import annotations
@@ -43,6 +51,47 @@ def _interp_matrix(out_size: int, in_size: int) -> np.ndarray:
     return m
 
 
+_BAND_BLOCK = 128  # output rows per banded block (one MXU tile)
+
+
+@lru_cache(maxsize=64)
+def _band_ranges(out_size: int, in_size: int):
+    """Static (out_lo, out_hi, in_lo, in_hi) block partition of the
+    banded interpolation matrix: each _BAND_BLOCK-row output block only
+    touches a contiguous input band (2 taps/row, monotonic)."""
+    m = _interp_matrix(out_size, in_size)
+    ranges = []
+    for o0 in range(0, out_size, _BAND_BLOCK):
+        o1 = min(o0 + _BAND_BLOCK, out_size)
+        nz = np.nonzero(m[o0:o1].any(axis=0))[0]
+        ranges.append((o0, o1, int(nz[0]), int(nz[-1]) + 1))
+    return tuple(ranges)
+
+
+def _contract_h(y, out_size, in_size, cdtype):
+    m = _interp_matrix(out_size, in_size)
+    if out_size < 2 * _BAND_BLOCK:
+        return jnp.einsum("oh,...hwc->...owc", jnp.asarray(m, cdtype), y)
+    pieces = [
+        jnp.einsum("oh,...hwc->...owc",
+                   jnp.asarray(m[o0:o1, i0:i1], cdtype),
+                   y[..., i0:i1, :, :])
+        for o0, o1, i0, i1 in _band_ranges(out_size, in_size)]
+    return jnp.concatenate(pieces, axis=-3)
+
+
+def _contract_w(y, out_size, in_size, cdtype):
+    m = _interp_matrix(out_size, in_size)
+    if out_size < 2 * _BAND_BLOCK:
+        return jnp.einsum("pw,...hwc->...hpc", jnp.asarray(m, cdtype), y)
+    pieces = [
+        jnp.einsum("pw,...hwc->...hpc",
+                   jnp.asarray(m[o0:o1, i0:i1], cdtype),
+                   y[..., :, i0:i1, :])
+        for o0, o1, i0, i1 in _band_ranges(out_size, in_size)]
+    return jnp.concatenate(pieces, axis=-2)
+
+
 def resize_bilinear(x, out_hw, dtype=None):
     """Resize NHWC (or HWC / NHW) arrays to ``out_hw`` with align_corners=True.
 
@@ -57,11 +106,9 @@ def resize_bilinear(x, out_hw, dtype=None):
         return x
     cdtype = dtype or (x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
                        else jnp.float32)
-    mh = jnp.asarray(_interp_matrix(out_h, in_h), cdtype)
-    mw = jnp.asarray(_interp_matrix(out_w, in_w), cdtype)
     y = x.astype(cdtype)
-    y = jnp.einsum("oh,...hwc->...owc", mh, y)
-    y = jnp.einsum("pw,...hwc->...hpc", mw, y)
+    y = _contract_h(y, out_h, in_h, cdtype)
+    y = _contract_w(y, out_w, in_w, cdtype)
     return y.astype(x.dtype) if dtype is None else y
 
 
