@@ -132,6 +132,14 @@ _C.TPU.REMAT = False
 # depthwise_stencil). Eval always uses the stencil; False reverts
 # training to XLA's grouped-conv path.
 _C.TPU.STENCIL_TRAIN = True
+# Lowering for the trunk/head dense stride-1 3x3 convs: "conv" (XLA's
+# native emitter), "shift9" (9 shifted channel GEMMs, custom VJP —
+# layers.py:dense_stencil), or "s2b" (space-to-batch around an undilated
+# conv, dilated trunk convs only). "conv" is the measured default:
+# shift9 wins 1.3-1.6x in isolation but loses ~25% inside the full
+# trunk, where its dots re-read the block input from HBM
+# (benchmarks/bench_dilated_conv.py records both).
+_C.TPU.DENSE_CONV_MODE = "conv"
 # Fold the acquisition sweep's native-res upsample into the score stage
 # (fused_upsample_region_score): the (H, W, C) native logits/embedding
 # never materialize in HBM (~700 MB/image saved); score maps agree with

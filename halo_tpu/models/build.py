@@ -149,5 +149,6 @@ class Segmentor(nn.Module):
 def build_segmentor(cfg) -> Segmentor:
     from . import layers
     layers.STENCIL_TRAIN = bool(getattr(cfg.TPU, "STENCIL_TRAIN", True))
+    layers.DENSE_CONV_MODE = str(getattr(cfg.TPU, "DENSE_CONV_MODE", "conv"))
     return Segmentor(feature_extractor=build_feature_extractor(cfg),
                      classifier=build_classifier(cfg))

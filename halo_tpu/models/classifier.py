@@ -30,10 +30,24 @@ from flax import linen as nn
 
 from ..ops import hyperbolic as hyp
 from ..ops.resize import resize_bilinear
-from .layers import (ConvBNReLU, DepthwiseSeparableConv,
-                     kaiming_normal_fan_in, normal_init,
-                     torch_conv_bias_init, torch_linear_bias_init,
-                     torch_linear_kernel_init)
+from .layers import (ConvBNReLU, DenseStencilConv, DepthwiseSeparableConv,
+                     dense_stencil_eligible, kaiming_normal_fan_in,
+                     normal_init, torch_conv_bias_init,
+                     torch_linear_bias_init, torch_linear_kernel_init)
+
+
+def _aspp_conv(features, d, x, dtype, name):
+    """One dilated 3x3 ASPP conv with bias and N(0, 0.01) kernel init
+    (reference: core/models/classifier.py:13-24, 318-327); lowered as
+    shifted channel GEMMs when eligible (layers.dense_stencil)."""
+    kwargs = dict(use_bias=True, dtype=dtype, kernel_init=normal_init(0.01),
+                  bias_init=torch_conv_bias_init((3, 3), x.shape[-1]),
+                  name=name)
+    if dense_stencil_eligible((3, 3), (1, 1), ((d, d), (d, d)), (d, d), 1):
+        return DenseStencilConv(features, (3, 3), ((d, d), (d, d)),
+                                (d, d), **kwargs)(x)
+    return nn.Conv(features, (3, 3), padding=((d, d), (d, d)),
+                   kernel_dilation=(d, d), **kwargs)(x)
 
 
 class HyperMLRHead(nn.Module):
@@ -76,11 +90,8 @@ class ASPPv2Head(nn.Module):
         x = feats["out"]
         out = None
         for i, d in enumerate(self.dilations):
-            y = nn.Conv(self.num_classes, (3, 3), padding=((d, d), (d, d)),
-                        kernel_dilation=(d, d), use_bias=True,
-                        dtype=self.dtype, kernel_init=normal_init(0.01),
-                        bias_init=torch_conv_bias_init((3, 3), x.shape[-1]),
-                        name=f"aspp_{i}")(x)
+            y = _aspp_conv(self.num_classes, d, x, self.dtype,
+                           name=f"aspp_{i}")
             out = y if out is None else out + y
         if size is not None:
             out = resize_bilinear(out, size)
@@ -103,12 +114,8 @@ class ASPPv2HyperHead(nn.Module):
         x = feats["out"]
         embed = None
         for i, d in enumerate(self.dilations):
-            y = nn.Conv(self.reduced_channels, (3, 3),
-                        padding=((d, d), (d, d)), kernel_dilation=(d, d),
-                        use_bias=True, dtype=self.dtype,
-                        kernel_init=normal_init(0.01),
-                        bias_init=torch_conv_bias_init((3, 3), x.shape[-1]),
-                        name=f"aspp_{i}")(x)
+            y = _aspp_conv(self.reduced_channels, d, x, self.dtype,
+                           name=f"aspp_{i}")
             embed = y if embed is None else embed + y
         embed = hyp.expmap(embed.astype(jnp.float32), c=self.curvature,
                            axis=-1)

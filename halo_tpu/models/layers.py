@@ -21,6 +21,18 @@ from flax import linen as nn
 # always uses the stencil (it has no residuals to blow up).
 STENCIL_TRAIN = True
 
+# Lowering for the trunk/head dense stride-1 3x3 convs. Set from
+# cfg.TPU.DENSE_CONV_MODE by models.build:
+#   "conv"   — XLA's native conv emitter (default);
+#   "shift9" — 9 shifted channel GEMMs (dense_stencil below). Wins 1.3-
+#              1.6x in ISOLATION (VMEM-resident input) but loses ~25%
+#              in the full trunk, where the 9 dots re-read the block
+#              input from HBM (benchmarks/bench_dilated_conv.py);
+#   "s2b"    — space-to-batch for dilated convs only: the d*d subgrids
+#              stack on the batch axis around an UNdilated conv, keeping
+#              the emitter's input streaming.
+DENSE_CONV_MODE = "conv"
+
 # ---------------------------------------------------------------------------
 # Initializers matching torch semantics
 # ---------------------------------------------------------------------------
@@ -225,6 +237,155 @@ def _stencil_vjp_bwd(padding, dilation, res, g):
 depthwise_stencil.defvjp(_stencil_vjp_fwd, _stencil_vjp_bwd)
 
 
+def _dense_stencil_fwd_impl(x, k, padding, dilation):
+    """DENSE conv (stride 1) as kh*kw shifted channel GEMMs. x: (B, H, W,
+    Cin), k: (kh, kw, Cin, Cout). Tap (i, j) contributes
+    x_pad[:, i*dh:, j*dw:, :] @ k[i, j]; accumulation in f32 on the MXU.
+
+    In ISOLATION this beats XLA's conv emitter 1.3-1.6x on the trunk
+    shapes (v5e: layer3 d=2 163 us native vs 100 us, MXU ideal 77);
+    inside the full trunk it measures 25% SLOWER — the 9 dot operands
+    re-read the block input from HBM (~80 MB/block) once VMEM no longer
+    holds it, costing more than the emitter inefficiency removed. Both
+    measurements recorded in benchmarks/bench_dilated_conv.py; hence
+    DENSE_CONV_MODE defaults to "conv" and this lowering is opt-in.
+    """
+    kh, kw = k.shape[0], k.shape[1]
+    (ph0, ph1), (pw0, pw1) = padding
+    dh, dw = dilation
+    xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    ho = x.shape[1] + ph0 + ph1 - dh * (kh - 1)
+    wo = x.shape[2] + pw0 + pw1 - dw * (kw - 1)
+    acc = jnp.zeros((x.shape[0], ho, wo, k.shape[-1]), jnp.float32)
+    for i in range(kh):
+        for j in range(kw):
+            tap = xp[:, i * dh:i * dh + ho, j * dw:j * dw + wo, :]
+            acc = acc + jax.lax.dot_general(
+                tap, k[i, j], (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    return acc.astype(x.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def dense_stencil(x, k, padding, dilation):
+    """Dense stride-1 conv as shifted GEMMs, with a hand-written VJP.
+
+    Plain autodiff would keep each tap slice (kh*kw near-full copies of
+    x_pad) as a dot residual — the same blow-up that made the depthwise
+    stencil eval-only before its VJP. This saves exactly (x, k) and
+    computes both grads as more shifted GEMMs:
+
+      * dx: the transposed stencil — g swept by the FLIPPED, (Cout, Cin)-
+        transposed kernel with margins d*(k-1)-p (>= 0 whenever
+        p <= d*(k-1), true for every torch-style 'same' conv here);
+      * dk[i, j] = tap^T @ g contracting over (B, H, W) — a big-K GEMM
+        per tap, f32 accumulation.
+    """
+    return _dense_stencil_fwd_impl(x, k, padding, dilation)
+
+
+def _dense_vjp_fwd(x, k, padding, dilation):
+    return _dense_stencil_fwd_impl(x, k, padding, dilation), (x, k)
+
+
+def _dense_vjp_bwd(padding, dilation, res, g):
+    x, k = res
+    kh, kw = k.shape[0], k.shape[1]
+    (ph0, ph1), (pw0, pw1) = padding
+    dh, dw = dilation
+    # dx[u, v, c] = sum_{i,j,o} g[u + p - i*d, v + p - j*d, o] k[i,j,c,o]
+    # == the forward stencil of g with the flipped, transposed kernel and
+    # transposed-conv margins.
+    kT = jnp.swapaxes(k, 2, 3)[::-1, ::-1]
+    dx = _dense_stencil_fwd_impl(
+        g, kT,
+        ((dh * (kh - 1) - ph0, dh * (kh - 1) - ph1),
+         (dw * (kw - 1) - pw0, dw * (kw - 1) - pw1)),
+        dilation)
+    xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    ho, wo = g.shape[1], g.shape[2]
+    taps = [
+        jax.lax.dot_general(
+            xp[:, i * dh:i * dh + ho, j * dw:j * dw + wo, :], g,
+            (((0, 1, 2), (0, 1, 2)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for i in range(kh) for j in range(kw)
+    ]
+    dk = jnp.stack(taps).reshape(k.shape).astype(k.dtype)
+    return dx.astype(x.dtype), dk
+
+
+dense_stencil.defvjp(_dense_vjp_fwd, _dense_vjp_bwd)
+
+
+def space_to_batch_conv(x, conv_apply, d: int):
+    """Dilated stride-1 conv via space-to-batch: the d*d interleaved
+    subgrids stack on the batch axis, ``conv_apply`` runs UNdilated with
+    pad 1 on each, and the outputs re-interleave. Exact for stride 1,
+    padding d, dilation d (value check in benchmarks/bench_dilated_conv
+    .py). H and W must divide by d (true trunk-wide: 80/160 with d in
+    {2, 4})."""
+    B, H, W, C = x.shape
+    g = x.reshape(B, H // d, d, W // d, d, C)
+    g = g.transpose(2, 4, 0, 1, 3, 5).reshape(d * d * B, H // d, W // d, C)
+    y = conv_apply(g)
+    Co = y.shape[-1]
+    y = y.reshape(d, d, B, H // d, W // d, Co)
+    return y.transpose(2, 3, 0, 4, 1, 5).reshape(B, H, W, Co)
+
+
+def dense_stencil_eligible(kernel_size, strides, padding, dilation,
+                           groups: int, mode: str = None) -> bool:
+    """Static eligibility for the dense shifted-GEMM lowering: stride 1,
+    ungrouped, numeric padding within the transposed-conv margin bound
+    p <= d*(k-1) the VJP needs."""
+    if (mode if mode is not None else DENSE_CONV_MODE) != "shift9":
+        return False
+    if groups != 1:
+        return False
+    if tuple(strides) != (1, 1):
+        return False
+    if not isinstance(padding, (tuple, list)):
+        return False
+    try:
+        pads = tuple(map(tuple, padding))
+    except TypeError:
+        return False
+    return all(max(p0, p1) <= d * (kk - 1)
+               for (p0, p1), d, kk in zip(pads, dilation, kernel_size))
+
+
+class DenseStencilConv(nn.Module):
+    """Dense stride-1 conv via dense_stencil; param layout identical to
+    flax ``nn.Conv`` ((kh, kw, Cin, Cout) under ``kernel`` plus optional
+    ``bias``), so checkpoints and torch imports are unaffected."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    padding: Tuple[Tuple[int, int], Tuple[int, int]]
+    dilation: Tuple[int, int] = (1, 1)
+    use_bias: bool = False
+    dtype: Any = None
+    kernel_init: Callable = kaiming_normal_fan_in
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, x.shape[-1], self.features),
+                            jnp.float32)
+        dt = self.dtype or x.dtype
+        y = dense_stencil(x.astype(dt), kernel.astype(dt),
+                          tuple(map(tuple, self.padding)),
+                          tuple(self.dilation))
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,),
+                              jnp.float32)
+            y = y + bias.astype(dt)
+        return y
+
+
 class _DepthwiseStencil(nn.Module):
     """Depthwise conv as kh*kw shifted multiply-adds (stride 1, no bias).
 
@@ -297,6 +458,15 @@ class ConvBNReLU(nn.Module):
                                  self.kernel_size)))
         if depthwise:
             x = _DepthwiseStencil(
+                self.features, self.kernel_size,
+                tuple(map(tuple, self.padding)), self.dilation,
+                dtype=self.dtype, kernel_init=self.kernel_init,
+                name="conv")(x)
+        elif (self.groups == 1 and not self.use_bias
+              and max(self.kernel_size) > 1
+              and dense_stencil_eligible(self.kernel_size, self.strides,
+                                         self.padding, self.dilation, 1)):
+            x = DenseStencilConv(
                 self.features, self.kernel_size,
                 tuple(map(tuple, self.padding)), self.dilation,
                 dtype=self.dtype, kernel_init=self.kernel_init,

@@ -18,7 +18,10 @@ from typing import Any, Sequence
 
 from flax import linen as nn
 
-from .layers import FrozenBatchNorm, kaiming_normal_fan_out, make_norm
+from . import layers as layers_mod
+from .layers import (DenseStencilConv, FrozenBatchNorm,
+                     dense_stencil_eligible, kaiming_normal_fan_out,
+                     make_norm, space_to_batch_conv)
 
 
 class Bottleneck(nn.Module):
@@ -53,11 +56,28 @@ class Bottleneck(nn.Module):
         y = nn.relu(y)
 
         d = self.dilation
-        y = nn.Conv(width, (3, 3), strides=(self.strides, self.strides),
-                    padding=((d, d), (d, d)), kernel_dilation=(d, d),
-                    feature_group_count=self.groups, use_bias=False,
-                    dtype=self.dtype, kernel_init=kaiming_normal_fan_out,
-                    name="conv2")(y)
+        if dense_stencil_eligible((3, 3), (self.strides, self.strides),
+                                  ((d, d), (d, d)), (d, d), self.groups):
+            # 9 shifted channel GEMMs (layers.DENSE_CONV_MODE "shift9")
+            y = DenseStencilConv(width, (3, 3), ((d, d), (d, d)), (d, d),
+                                 dtype=self.dtype,
+                                 kernel_init=kaiming_normal_fan_out,
+                                 name="conv2")(y)
+        elif (layers_mod.DENSE_CONV_MODE == "s2b" and d > 1
+              and self.strides == 1 and self.groups == 1
+              and y.shape[1] % d == 0 and y.shape[2] % d == 0):
+            # space-to-batch around an UNdilated conv: same params
+            conv = nn.Conv(width, (3, 3), padding=((1, 1), (1, 1)),
+                           use_bias=False, dtype=self.dtype,
+                           kernel_init=kaiming_normal_fan_out,
+                           name="conv2")
+            y = space_to_batch_conv(y, conv, d)
+        else:
+            y = nn.Conv(width, (3, 3), strides=(self.strides, self.strides),
+                        padding=((d, d), (d, d)), kernel_dilation=(d, d),
+                        feature_group_count=self.groups, use_bias=False,
+                        dtype=self.dtype, kernel_init=kaiming_normal_fan_out,
+                        name="conv2")(y)
         y = make_norm(self.freeze_bn, width, dtype=self.dtype,
                       train=self.train, name="bn2")(y)
         y = nn.relu(y)

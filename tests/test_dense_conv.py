@@ -1,0 +1,117 @@
+"""Dense 3x3 conv lowerings (layers.dense_stencil / space_to_batch_conv).
+
+The reference's trunk convs are plain torch Conv2d (core/models/
+resnet.py:83-95); on TPU we expose alternate lowerings behind
+``TPU.DENSE_CONV_MODE`` ("conv" default — the alternatives lose or tie
+in context, benchmarks/bench_dilated_conv.py). These tests pin that all
+modes are value-identical and that the custom VJP matches autodiff of
+the native conv, so flipping the knob can never change training.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from halo_tpu.models import layers
+from halo_tpu.models.layers import (dense_stencil, dense_stencil_eligible,
+                                    space_to_batch_conv)
+
+
+def _conv_ref(x, k, p, d):
+    dn = lax.conv_dimension_numbers(x.shape, k.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(x, k, (1, 1), ((p, p), (p, p)),
+                                    rhs_dilation=(d, d),
+                                    dimension_numbers=dn)
+
+
+@pytest.mark.parametrize("cin,cout,d", [(8, 16, 1), (8, 16, 2), (5, 7, 4)])
+def test_dense_stencil_matches_conv(cin, cout, d):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 24, cin)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, cin, cout)), jnp.float32)
+    ref = _conv_ref(x, k, d, d)
+    got = dense_stencil(x, k, ((d, d), (d, d)), (d, d))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("d", [1, 2, 4])
+def test_dense_stencil_vjp_matches_autodiff(d):
+    """The hand-written VJP (residuals (x, k) only) equals conv autodiff."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 12, 16, 6)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 6, 5)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(1, 12, 16, 5)), jnp.float32)
+
+    gx_r, gk_r = jax.grad(
+        lambda x, k: jnp.sum(_conv_ref(x, k, d, d) * g), (0, 1))(x, k)
+    gx_o, gk_o = jax.grad(
+        lambda x, k: jnp.sum(
+            dense_stencil(x, k, ((d, d), (d, d)), (d, d)) * g), (0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_o), np.asarray(gx_r),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_o), np.asarray(gk_r),
+                               rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("d", [2, 4])
+def test_space_to_batch_conv_matches_dilated(d):
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 16, 24, 6)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 6, 5)), jnp.float32)
+    ref = _conv_ref(x, k, d, d)
+    got = space_to_batch_conv(x, lambda g: _conv_ref(g, k, 1, 1), d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_mode_equivalence_on_model(mini_cfg_factory=None):
+    """All DENSE_CONV_MODE values produce the same flagship-arch logits
+    from the same params (so the knob can never change results)."""
+    from halo_tpu.config import get_default_cfg
+    from halo_tpu.models import build_segmentor
+
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "deeplabv3plus_resnettiny"
+    cfg.MODEL.HYPER = True
+    cfg.MODEL.FREEZE_BN = True
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_segmentor(cfg)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(1, 64, 64, 3)),
+                    jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x, train=False)
+    prev = layers.DENSE_CONV_MODE
+    try:
+        outs = {}
+        for mode in ("conv", "shift9", "s2b"):
+            layers.DENSE_CONV_MODE = mode
+            out, _ = model.apply(v, x, size=(64, 64), train=False)
+            outs[mode] = np.asarray(out)
+    finally:
+        layers.DENSE_CONV_MODE = prev
+    for mode in ("shift9", "s2b"):
+        np.testing.assert_allclose(outs[mode], outs["conv"],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_eligibility_guards():
+    # margin bound p <= d*(k-1): p=3, d=1, k=3 -> 3 > 2 ineligible
+    assert not dense_stencil_eligible((3, 3), (1, 1), ((3, 3), (3, 3)),
+                                      (1, 1), 1, mode="shift9")
+    # strides / groups / string padding all disqualify
+    assert not dense_stencil_eligible((3, 3), (2, 2), ((1, 1), (1, 1)),
+                                      (1, 1), 1, mode="shift9")
+    assert not dense_stencil_eligible((3, 3), (1, 1), ((1, 1), (1, 1)),
+                                      (1, 1), 2, mode="shift9")
+    assert not dense_stencil_eligible((3, 3), (1, 1), "SAME", (1, 1), 1,
+                                      mode="shift9")
+    assert dense_stencil_eligible((3, 3), (1, 1), ((2, 2), (2, 2)),
+                                  (2, 2), 1, mode="shift9")
+    # default module mode is "conv" -> ineligible without opt-in
+    assert layers.DENSE_CONV_MODE == "conv"
+    assert not dense_stencil_eligible((3, 3), (1, 1), ((1, 1), (1, 1)),
+                                      (1, 1), 1)
