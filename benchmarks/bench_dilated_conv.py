@@ -139,6 +139,42 @@ def check_equal():
     print("value check ok (shift9, s2b == native)")
 
 
+def pallas(w, x, d):
+    from halo_tpu.ops import pallas_conv
+    return pallas_conv.dilated_conv3x3(x, w, d)
+
+
+def trunk_mode(mode: str):
+    """Whole-R101-trunk per-image time with DENSE_CONV_MODE=``mode``."""
+    from halo_tpu.config import get_default_cfg
+    from halo_tpu.models import build_segmentor
+
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "deeplabv3plus_resnet101"
+    cfg.MODEL.WEIGHTS = ""
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.TPU.DENSE_CONV_MODE = mode
+    model = build_segmentor(cfg)
+    xs = jax.random.normal(jax.random.PRNGKey(0), (4, 1, 640, 1280, 3),
+                           jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        xs[0], train=False)
+    fe = model.feature_extractor
+    fe_vars = {k: v["feature_extractor"] for k, v in variables.items()
+               if "feature_extractor" in v}
+
+    @jax.jit
+    def run(v, xs, n):
+        def body(i, acc):
+            x = lax.dynamic_index_in_dim(xs, i % 4, 0, keepdims=False)
+            feats = fe.apply(v, x, train=False)
+            return acc + feats["out"].astype(jnp.float32)[0, 0, 0, 0]
+        return lax.fori_loop(0, n, body, jnp.float32(0))
+
+    return per_iter(run, fe_vars, xs)
+
+
 def main():
     check_equal()
     key = jax.random.PRNGKey(0)
@@ -146,17 +182,28 @@ def main():
         ("layer3 (80,160,256) d=2", 256, 2),
         ("layer4 (80,160,512) d=4", 512, 4),
     )
+    from halo_tpu.ops import pallas_conv
     for label, C, d in shapes:
         xs = jax.random.normal(key, (2, 1, 80, 160, C), BF)
         w = jax.random.normal(key, (3, 3, C, C), BF) * 0.02
         flops = 2 * 80 * 160 * 9 * C * C
         print(f"{label}  (MXU ideal {flops / 197e12 * 1e6:.0f} us)")
-        for name, fn in (("native", native), ("shift9", shift9),
-                         ("s2b", s2b), ("undil*", undil)):
+        variants = [("native", native), ("shift9", shift9),
+                    ("s2b", s2b), ("undil*", undil)]
+        if pallas_conv.supports((1, 80, 160, C), (3, 3, C, C), d):
+            variants.append(("pallas", pallas))
+        else:
+            print("  pallas  :  (unsupported at this shape)")
+        for name, fn in variants:
             def one(wk, x, fn=fn):
                 return fn(wk, x, d).astype(jnp.float32)[0, 0, 0, 0]
             t = per_iter(loop(one), w, xs)
             print(f"  {name:8s}: {t * 1e6:7.0f} us")
+
+    print("full trunk @640x1280 (in-context):")
+    for mode in ("conv", "pallas"):
+        t = trunk_mode(mode)
+        print(f"  {mode:8s}: {t * 1e3:7.2f} ms/img")
 
 
 if __name__ == "__main__":

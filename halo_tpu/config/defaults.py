@@ -134,11 +134,15 @@ _C.TPU.REMAT = False
 _C.TPU.STENCIL_TRAIN = True
 # Lowering for the trunk/head dense stride-1 3x3 convs: "conv" (XLA's
 # native emitter), "shift9" (9 shifted channel GEMMs, custom VJP —
-# layers.py:dense_stencil), or "s2b" (space-to-batch around an undilated
-# conv, dilated trunk convs only). "conv" is the measured default:
-# shift9 wins 1.3-1.6x in isolation but loses ~25% inside the full
-# trunk, where its dots re-read the block input from HBM
-# (benchmarks/bench_dilated_conv.py records both).
+# layers.py:dense_stencil), "s2b" (space-to-batch around an undilated
+# conv, dilated trunk convs only), or "pallas" (VMEM-resident Pallas tap
+# GEMMs for the dilated trunk convs, ops/pallas_conv.py; falls back to
+# "conv" where unsupported). "conv" is the measured default: shift9 wins
+# 1.3-1.6x in isolation but loses ~25% inside the full trunk (its dots
+# re-read the block input from HBM), and pallas wins slightly isolated
+# but loses 2.3x in the trunk (each pallas_call is a fusion barrier +
+# unpipelined whole-map DMA). bench_dilated_conv.py records all
+# variants, isolated and in-context.
 _C.TPU.DENSE_CONV_MODE = "conv"
 # Fold the acquisition sweep's native-res upsample into the score stage
 # (fused_upsample_region_score): the (H, W, C) native logits/embedding

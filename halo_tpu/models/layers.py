@@ -30,7 +30,13 @@ STENCIL_TRAIN = True
 #              input from HBM (benchmarks/bench_dilated_conv.py);
 #   "s2b"    — space-to-batch for dilated convs only: the d*d subgrids
 #              stack on the batch axis around an UNdilated conv, keeping
-#              the emitter's input streaming.
+#              the emitter's input streaming;
+#   "pallas" — VMEM-resident Pallas kernel for the DILATED trunk convs
+#              (ops/pallas_conv.py): the padded input block stays in
+#              VMEM across all 9 tap GEMMs. Measured 2.3x SLOWER in the
+#              full trunk (fusion barrier + unpipelined input DMA per
+#              call — ops/pallas_conv.py docstring); kept opt-in.
+#              Falls back to "conv" where unsupported.
 DENSE_CONV_MODE = "conv"
 
 # ---------------------------------------------------------------------------
@@ -384,6 +390,49 @@ class DenseStencilConv(nn.Module):
                               jnp.float32)
             y = y + bias.astype(dt)
         return y
+
+
+def pallas_conv_eligible(x_shape, cout: int, strides, dilation,
+                         groups: int) -> bool:
+    """Static eligibility for the Pallas VMEM-resident dilated 3x3
+    lowering (DENSE_CONV_MODE == "pallas"): dilated stride-1 ungrouped
+    conv whose padded input block fits VMEM, on a TPU backend (or under
+    the interpreter for tests)."""
+    if DENSE_CONV_MODE != "pallas":
+        return False
+    if groups != 1 or tuple(strides) != (1, 1):
+        return False
+    d = tuple(dilation)
+    if d[0] != d[1] or d[0] < 2:
+        return False
+    from ..ops import pallas_conv
+    if not (jax.default_backend() == "tpu" or pallas_conv.INTERPRET):
+        return False
+    return pallas_conv.supports(
+        tuple(x_shape), (3, 3, int(x_shape[-1]), int(cout)), d[0])
+
+
+class PallasDilatedConv(nn.Module):
+    """Dilated 3x3 stride-1 conv via the Pallas VMEM-resident kernel
+    (ops/pallas_conv.py). Param layout identical to flax ``nn.Conv``
+    ((3, 3, Cin, Cout) under ``kernel``), so checkpoints and torch
+    imports are unaffected. Train-safe: the kernel carries a custom VJP
+    (dx is the same kernel with the flipped transposed weights, dk is 9
+    XLA contractions; residuals (x, k) only)."""
+
+    features: int
+    dilation: int
+    dtype: Any = None
+    kernel_init: Callable = kaiming_normal_fan_in
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas_conv import dilated_conv3x3
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, x.shape[-1], self.features), jnp.float32)
+        dt = self.dtype or x.dtype
+        return dilated_conv3x3(x.astype(dt), kernel.astype(dt),
+                               int(self.dilation))
 
 
 class _DepthwiseStencil(nn.Module):

@@ -19,9 +19,9 @@ from typing import Any, Sequence
 from flax import linen as nn
 
 from . import layers as layers_mod
-from .layers import (DenseStencilConv, FrozenBatchNorm,
+from .layers import (DenseStencilConv, FrozenBatchNorm, PallasDilatedConv,
                      dense_stencil_eligible, kaiming_normal_fan_out,
-                     make_norm, space_to_batch_conv)
+                     make_norm, pallas_conv_eligible, space_to_batch_conv)
 
 
 class Bottleneck(nn.Module):
@@ -56,8 +56,16 @@ class Bottleneck(nn.Module):
         y = nn.relu(y)
 
         d = self.dilation
-        if dense_stencil_eligible((3, 3), (self.strides, self.strides),
-                                  ((d, d), (d, d)), (d, d), self.groups):
+        if pallas_conv_eligible(y.shape, width, (self.strides, self.strides),
+                                (d, d), self.groups):
+            # VMEM-resident Pallas tap GEMMs (layers.DENSE_CONV_MODE
+            # "pallas"): the padded input block is DMA'd once and all 9
+            # shifted dots read it from VMEM (ops/pallas_conv.py)
+            y = PallasDilatedConv(width, d, dtype=self.dtype,
+                                  kernel_init=kaiming_normal_fan_out,
+                                  name="conv2")(y)
+        elif dense_stencil_eligible((3, 3), (self.strides, self.strides),
+                                    ((d, d), (d, d)), (d, d), self.groups):
             # 9 shifted channel GEMMs (layers.DENSE_CONV_MODE "shift9")
             y = DenseStencilConv(width, (3, 3), ((d, d), (d, d)), (d, d),
                                  dtype=self.dtype,

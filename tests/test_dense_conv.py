@@ -98,6 +98,80 @@ def test_mode_equivalence_on_model(mini_cfg_factory=None):
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("d", [1, 2, 4])
+def test_pallas_conv_matches_conv(d):
+    """ops/pallas_conv kernel == native dilated conv (CPU interpreter)."""
+    from halo_tpu.ops import pallas_conv
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 16, 32, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 128, 128)), jnp.float32) * 0.05
+    assert pallas_conv.supports(x.shape, k.shape, d)
+    prev = pallas_conv.INTERPRET
+    pallas_conv.INTERPRET = True
+    try:
+        got = pallas_conv.dilated_conv3x3(x, k, d)
+    finally:
+        pallas_conv.INTERPRET = prev
+    ref = _conv_ref(x, k, d, d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_pallas_conv_vjp_matches_autodiff():
+    """The kernel's custom VJP (residuals (x, k) only) == conv autodiff."""
+    from halo_tpu.ops import pallas_conv
+
+    d = 2
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 8, 16, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 128, 128)), jnp.float32) * 0.05
+    g = jnp.asarray(rng.normal(size=(1, 8, 16, 128)), jnp.float32)
+    prev = pallas_conv.INTERPRET
+    pallas_conv.INTERPRET = True
+    try:
+        gx_o, gk_o = jax.grad(
+            lambda x, k: jnp.sum(pallas_conv.dilated_conv3x3(x, k, d) * g),
+            (0, 1))(x, k)
+    finally:
+        pallas_conv.INTERPRET = prev
+    gx_r, gk_r = jax.grad(
+        lambda x, k: jnp.sum(_conv_ref(x, k, d, d) * g), (0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_o), np.asarray(gx_r),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gk_o), np.asarray(gk_r),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_pallas_conv_eligibility():
+    from halo_tpu.models.layers import pallas_conv_eligible
+    from halo_tpu.ops import pallas_conv
+
+    # shape-level support: lane alignment and VMEM fit
+    assert pallas_conv.supports((1, 80, 160, 256), (3, 3, 256, 256), 2)
+    assert not pallas_conv.supports((1, 80, 160, 256), (3, 3, 256, 256), 0)
+    assert not pallas_conv.supports((1, 80, 160, 96), (3, 3, 96, 96), 2)
+    # layer4 at d=4: the 15 MB padded input exceeds the VMEM budget
+    assert not pallas_conv.supports((1, 80, 160, 512), (3, 3, 512, 512), 4)
+    # module-level gate: default mode "conv" -> ineligible without opt-in
+    assert layers.DENSE_CONV_MODE == "conv"
+    assert not pallas_conv_eligible((1, 80, 160, 256), 256, (1, 1), (2, 2), 1)
+    prev_mode, prev_int = layers.DENSE_CONV_MODE, pallas_conv.INTERPRET
+    layers.DENSE_CONV_MODE, pallas_conv.INTERPRET = "pallas", True
+    try:
+        assert pallas_conv_eligible((1, 80, 160, 256), 256, (1, 1),
+                                    (2, 2), 1)
+        # strided / grouped / undilated convs stay on the native path
+        assert not pallas_conv_eligible((1, 80, 160, 256), 256, (2, 2),
+                                        (2, 2), 1)
+        assert not pallas_conv_eligible((1, 80, 160, 256), 256, (1, 1),
+                                        (2, 2), 2)
+        assert not pallas_conv_eligible((1, 80, 160, 256), 256, (1, 1),
+                                        (1, 1), 1)
+    finally:
+        layers.DENSE_CONV_MODE, pallas_conv.INTERPRET = prev_mode, prev_int
+
+
 def test_eligibility_guards():
     # margin bound p <= d*(k-1): p=3, d=1, k=3 -> 3 > 2 ineligible
     assert not dense_stencil_eligible((3, 3), (1, 1), ((3, 3), (3, 3)),
