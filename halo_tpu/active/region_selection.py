@@ -270,9 +270,10 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
         if not (sizes == sizes[0]).all():
             raise ValueError(
                 f"batch mixes native sizes {sizes.tolist()}; the fused "
-                "program scores the whole batch at one resolution — use "
-                "a per-resolution loader (the reference handles size "
-                "per-image at batch 1, build.py:118-126)")
+                "program scores the whole batch at one resolution — build "
+                "the loader with group_by_size=True (the learner does for "
+                "ACTIVE_BATCH > 1; the reference handles size per-image "
+                "at batch 1, build.py:118-126)")
         size = tuple(int(s) for s in sizes[0])
         is_pad = np.asarray(batch.get("is_pad",
                                       np.zeros(imgs.shape[0], bool)))

@@ -239,6 +239,22 @@ class CityscapesDataSet:
     def __len__(self):
         return len(self.data_list)
 
+    def native_size(self, index) -> tuple:
+        """Native (H, W) of sample ``index``, from the PNG header only (no
+        pixel decode — PIL reads dimensions lazily). Cached per path. Lets
+        the active DataLoader group batches by resolution so mixed-size
+        target sets work at TPU.ACTIVE_BATCH > 1 (the reference sidesteps
+        this by sweeping at batch 1, core/active/build.py:118-126)."""
+        path = self.data_list[index]["img"]
+        cache = getattr(self, "_size_cache", None)
+        if cache is None:
+            cache = self._size_cache = {}
+        if path not in cache:
+            with Image.open(path) as im:
+                w, h = im.size
+            cache[path] = (h, w)
+        return cache[path]
+
     def __getitem__(self, index, rng=None):
         if self.debug:
             index = 0

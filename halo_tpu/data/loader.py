@@ -17,13 +17,20 @@ import numpy as np
 
 
 def default_collate(samples: List[Dict]) -> Dict:
-    """Stack numpy arrays, list everything else."""
+    """Stack numpy arrays, list everything else. Arrays whose shapes
+    differ across the batch (native-res origin_*/label fields on a
+    mixed-resolution dataset) stay a list — they ride on host for the
+    active round; the device paths consume only the uniform resized
+    tensors (engine/learners.py:_TRAIN_KEYS)."""
     out = {}
     for key in samples[0]:
         vals = [s[key] for s in samples]
         first = vals[0]
         if isinstance(first, np.ndarray):
-            out[key] = np.stack(vals)
+            if all(v.shape == first.shape for v in vals[1:]):
+                out[key] = np.stack(vals)
+            else:
+                out[key] = vals
         elif isinstance(first, (int, float, np.integer, np.floating)):
             out[key] = np.asarray(vals)
         else:
@@ -41,7 +48,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=4,
                  seed=0, drop_last=False, collate_fn=default_collate,
-                 shard=None, pad_final=False):
+                 shard=None, pad_final=False, group_by_size=False):
         """``batch_size`` is always the GLOBAL batch.
 
         shard: optional (index, count) — yield only this process's
@@ -53,6 +60,16 @@ class DataLoader:
           batch under ``is_pad`` (eval paths neutralize them by setting
           labels to ignore). When pad_final is set every yielded batch has
           an ``is_pad`` key.
+        group_by_size: partition the epoch's index order into buckets of
+          equal native resolution (``dataset.native_size(i)``, a cheap
+          PNG-header probe) and batch within each bucket, so every yielded
+          batch is single-resolution — required by the fused acquisition
+          program, which traces one XLA executable per native size
+          (active/region_selection.py). Bucketing is a deterministic
+          function of the file list, so every host forms identical global
+          batches. Requires the dataset to expose ``native_size``;
+          uniform-size datasets (Cityscapes) form exactly the ungrouped
+          batches.
         """
         self.dataset = dataset
         self.batch_size = batch_size
@@ -72,11 +89,18 @@ class DataLoader:
                 raise ValueError("shard requires drop_last or pad_final")
         self.shard = shard
         self.pad_final = pad_final
+        if group_by_size and not hasattr(dataset, "native_size"):
+            raise ValueError(
+                "group_by_size requires the dataset to expose "
+                "native_size(index)")
+        self.group_by_size = group_by_size
         # hoisted off the per-sample hot path (inspect.signature per
         # fetch); the Grain backend caches the same bool in _RngSource
         self._rng_aware = _accepts_rng(dataset)
 
     def __len__(self):
+        # lower bound under group_by_size (each extra resolution bucket
+        # can add one padded/dropped trailing batch)
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
@@ -100,10 +124,24 @@ class DataLoader:
         if self.shuffle:
             random.Random(f"{self.seed}-{self.epoch}").shuffle(order)
 
-        batches = [order[i:i + self.batch_size]
-                   for i in range(0, len(order), self.batch_size)]
-        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
-            batches.pop()
+        if self.group_by_size:
+            # Stable partition by native resolution: batches never mix
+            # sizes, relative order within a bucket is preserved, buckets
+            # are emitted in first-appearance order. Each bucket's trailing
+            # partial batch is padded/dropped independently.
+            buckets: Dict[tuple, List[int]] = {}
+            for i in order:
+                buckets.setdefault(tuple(self.dataset.native_size(i)),
+                                   []).append(i)
+            grouped = [b for bucket in buckets.values() for b in
+                       (bucket[i:i + self.batch_size]
+                        for i in range(0, len(bucket), self.batch_size))]
+            batches = grouped
+        else:
+            batches = [order[i:i + self.batch_size]
+                       for i in range(0, len(order), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
 
         prefetch = 2 * self.num_workers
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:

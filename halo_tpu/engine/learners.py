@@ -407,12 +407,18 @@ class _ActiveMixin:
         # The sweep is sharded over the data mesh axis: every device scores
         # TPU.ACTIVE_BATCH images per dispatch; a trailing partial batch is
         # padded with repeats whose results are discarded (is_pad).
+        active_batch = (int(getattr(cfg.TPU, "ACTIVE_BATCH", 1))
+                        * self.num_devices)
         self.active_loader = DataLoader(
             active_set,
-            batch_size=(int(getattr(cfg.TPU, "ACTIVE_BATCH", 1))
-                        * self.num_devices),
+            batch_size=active_batch,
             shuffle=False, num_workers=NUM_WORKERS, seed=self.seed,
-            pad_final=True, shard=multihost.loader_shard())
+            pad_final=True, shard=multihost.loader_shard(),
+            # single-resolution batches for the fused sweep program; a
+            # no-op on uniform sets (Cityscapes), required for
+            # mixed-resolution target sets at ACTIVE_BATCH > 1
+            group_by_size=(active_batch > 1
+                           and hasattr(active_set, "native_size")))
         print(">>>>>>>>>>>>>>>> Init Mask >>>>>>>>>>>>>>>>", flush=True)
         # Single writer: the coordinator seeds the 255-masks; the barrier
         # orders the writes before any host's loader reads them (reference

@@ -91,6 +91,36 @@ def build_mini_dataset(root):
     return root
 
 
+def add_mixed_size_images(root, size=(40, 72), count=2):
+    """Append ``count`` extra 40x72 (HxW) train images to the mini
+    cityscapes tree (whose originals are 32x64), making the target set
+    mixed-resolution — exercises the active loader's group_by_size
+    bucketing (the reference never batches the sweep, so it never faces
+    this; core/active/build.py:118-126)."""
+    import pathlib
+
+    root = pathlib.Path(root)
+    cs = root / "cityscapes"
+    rng = np.random.default_rng(7)
+    h, w = size
+    names = []
+    for i in range(3, 3 + count):
+        name = f"city{i}/city{i}_train_{i:06d}_leftImg8bit.png"
+        stem = name.split("_leftImg8bit")[0]
+        img_p = cs / "leftImg8bit" / "train" / name
+        lab_p = cs / "gtFine" / "train" / f"{stem}_gtFine_labelIds.png"
+        img_p.parent.mkdir(parents=True, exist_ok=True)
+        lab_p.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(rng.integers(0, 255, (h, w, 3),
+                                     np.uint8).astype(np.uint8)).save(img_p)
+        ids = rng.choice(list(ID_TO_TRAINID_19) + [0], (h, w))
+        Image.fromarray(ids.astype(np.uint8)).save(lab_p)
+        names.append(name)
+    list_p = root / "cityscapes_train_list.txt"
+    list_p.write_text(list_p.read_text() + "\n".join(names) + "\n")
+    return names
+
+
 def make_mini_cfg(root, tmp_path):
     cfg = get_default_cfg()
     cfg.MODEL.WEIGHTS = ""  # no pretrained trunk in the test environment

@@ -147,3 +147,48 @@ def test_mask_cache_write_through(mini_root, tmp_path):
     mask_cache.clear()
     s2 = ds[0]
     assert (s2["mask"] == 255).all()
+
+
+def test_group_by_size_loader(mini_root, tmp_path):
+    """group_by_size buckets an epoch into single-resolution batches with
+    exact coverage; trailing partial batches pad within their bucket."""
+    from tests.conftest import add_mixed_size_images
+
+    add_mixed_size_images(mini_root)  # 3 imgs @32x64 + 2 @40x72
+    cfg = make_mini_cfg(mini_root, tmp_path)
+    DatasetCatalog.init_mask(cfg, workers=2)
+    ds = build_dataset(cfg, mode="active", is_source=False, epochwise=True)
+    assert ds.native_size(0) == (32, 64) and ds.native_size(3) == (40, 72)
+
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                        pad_final=True, group_by_size=True)
+    seen = []
+    for batch in loader:
+        sizes = np.asarray(batch["size"])
+        assert (sizes == sizes[0]).all()  # never mixes resolutions
+        assert batch["img"].shape[0] == 2
+        for b in range(2):
+            if not batch["is_pad"][b]:
+                seen.append(batch["name"][b])
+    # every image exactly once: 2 batches of 32x64 (one padded) + 1 of 40x72
+    assert sorted(seen) == sorted(e["name"] for e in ds.data_list)
+
+    # requires a size probe
+    with pytest.raises(ValueError):
+        DataLoader([1, 2, 3], batch_size=2, group_by_size=True)
+
+
+def test_collate_ragged_arrays_stay_lists():
+    """Mixed-shape array fields (native-res origin_* on a mixed-resolution
+    set) collate to lists instead of raising; uniform fields still stack."""
+    from halo_tpu.data.loader import default_collate
+
+    a = {"img": np.zeros((4, 6, 3)), "origin_label": np.zeros((10, 20)),
+         "name": "a"}
+    b = {"img": np.ones((4, 6, 3)), "origin_label": np.zeros((12, 24)),
+         "name": "b"}
+    out = default_collate([a, b])
+    assert out["img"].shape == (2, 4, 6, 3)
+    assert isinstance(out["origin_label"], list)
+    assert out["origin_label"][1].shape == (12, 24)
+    assert out["name"] == ["a", "b"]

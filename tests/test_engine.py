@@ -410,3 +410,55 @@ def test_resume_full_restores_learner_counters(mini_root, tmp_path):
     assert start == 3
     assert learner2.active_round == 2
     assert learner2.best_miou == 41.5
+
+
+def test_mixed_resolution_active_sweep(mini_root, tmp_path):
+    """A mixed-resolution target set at ACTIVE_BATCH>1: group_by_size
+    buckets the sweep into single-size batches and the masks are
+    bit-identical to the batch=1 sweep (which traces one program per
+    image size either way)."""
+    from tests.conftest import add_mixed_size_images
+    from halo_tpu.active.region_selection import region_selection
+    from halo_tpu.data import mask_cache
+    from halo_tpu.data.masks import load_mask_png
+
+    add_mixed_size_images(mini_root)  # 3 imgs @32x64 + 2 @40x72
+    masks = {}
+    for ab in (1, 2):
+        mask_cache.clear()
+        cfg = tiny_cfg(mini_root, tmp_path, "source_target")
+        cfg.OUTPUT_DIR = str(tmp_path / f"out_mix{ab}")
+        cfg.SAVE_DIR = str(tmp_path / f"out_mix{ab}" / "t")
+        cfg.TPU.ACTIVE_BATCH = ab
+        learner = build_learner(cfg)
+        stats = region_selection(cfg, learner.model, learner.state,
+                                 learner.active_loader, 1,
+                                 mesh=learner.mesh)
+        assert stats["images"] == 5  # pads discarded
+        got = {}
+        mask_dir = os.path.join(cfg.SAVE_DIR, "gtMask/train")
+        for root, _dirs, files in os.walk(mask_dir):
+            for f in files:
+                got[f] = load_mask_png(os.path.join(root, f))
+        masks[ab] = got
+    assert masks[1].keys() == masks[2].keys() and len(masks[1]) == 5
+    for k in masks[1]:
+        np.testing.assert_array_equal(masks[1][k], masks[2][k])
+
+
+def test_mixed_resolution_fit(mini_root, tmp_path):
+    """End-to-end fit on a mixed-resolution target set: the train loader
+    rides native-res origin_* fields as ragged host lists (collate
+    fallback) and the active round buckets by size — both were crashes
+    before group_by_size landed."""
+    from tests.conftest import add_mixed_size_images
+
+    add_mixed_size_images(mini_root)
+    cfg = tiny_cfg(mini_root, tmp_path, "source_target")
+    cfg.TPU.ACTIVE_BATCH = 2
+    learner = build_learner(cfg)
+    hist = learner.fit(max_steps=2, val_interval=0)
+    assert np.isfinite(hist[-1]["loss"])
+    mask_dir = os.path.join(cfg.SAVE_DIR, "gtMask/train")
+    n = sum(len(fs) for _r, _d, fs in os.walk(mask_dir))
+    assert n == 5  # every image masked, both resolutions
