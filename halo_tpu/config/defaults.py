@@ -151,6 +151,11 @@ _C.TPU.DENSE_CONV_MODE = "conv"
 # (tests/test_active.py). False reverts to resize-then-score (reference
 # structure, build.py:122-144).
 _C.TPU.FUSED_UPSAMPLE = True
+# Weight-grad lowering for the dense stride-1 convs: "gemm" (custom VJP —
+# XLA emitter fwd/dgrad, kh*kw shifted big-K GEMMs for the weight grad;
+# XLA's own wgrad of the dilated trunk convs measures 1.6x their forward)
+# or "conv" (XLA autodiff end-to-end). See models/layers.py:CONV_WGRAD.
+_C.TPU.CONV_WGRAD = "gemm"
 # Images per device dispatch during acquisition scoring (the reference
 # sweeps batch=1, core/train_learners.py:282-289; any value yields
 # identical masks). Values > 1 require every image in a dispatch to

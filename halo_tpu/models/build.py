@@ -150,5 +150,6 @@ def build_segmentor(cfg) -> Segmentor:
     from . import layers
     layers.STENCIL_TRAIN = bool(getattr(cfg.TPU, "STENCIL_TRAIN", True))
     layers.DENSE_CONV_MODE = str(getattr(cfg.TPU, "DENSE_CONV_MODE", "conv"))
+    layers.CONV_WGRAD = str(getattr(cfg.TPU, "CONV_WGRAD", "gemm"))
     return Segmentor(feature_extractor=build_feature_extractor(cfg),
                      classifier=build_classifier(cfg))

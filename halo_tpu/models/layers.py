@@ -39,6 +39,17 @@ STENCIL_TRAIN = True
 #              Falls back to "conv" where unsupported.
 DENSE_CONV_MODE = "conv"
 
+# Weight-grad lowering for the dense stride-1 convs (orthogonal to the
+# forward DENSE_CONV_MODE). Set from cfg.TPU.CONV_WGRAD by models.build:
+#   "gemm" (default) — custom VJP keeping XLA's emitter for forward and
+#          input-grad (both measured at their FLOP par) but computing the
+#          weight grad as kh*kw shifted big-K GEMMs on the MXU. XLA's own
+#          wgrad of the DILATED layer3/4 convs measures 1.6x their
+#          forward (should be ~1x): ~19 ms/step excess at production
+#          shapes (benchmarks/bench_bwd_parts.py, round-3 stage split);
+#   "conv" — XLA's native wgrad (autodiff of the plain conv).
+CONV_WGRAD = "gemm"
+
 # ---------------------------------------------------------------------------
 # Initializers matching torch semantics
 # ---------------------------------------------------------------------------
@@ -322,6 +333,119 @@ def _dense_vjp_bwd(padding, dilation, res, g):
 
 
 dense_stencil.defvjp(_dense_vjp_fwd, _dense_vjp_bwd)
+
+
+_CONV_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _native_conv_impl(x, k, padding, dilation):
+    """Stride-1 dense conv through XLA's native emitter — bit-identical
+    to flax nn.Conv's lax call at these settings."""
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), padding, rhs_dilation=dilation,
+        dimension_numbers=_CONV_DN)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def native_conv_gemm_wgrad(x, k, padding, dilation):
+    """XLA-emitter conv with a GEMM weight-grad (CONV_WGRAD='gemm').
+
+    Forward and input-grad stay on XLA's conv emitter — both measured at
+    their FLOP par in the trunk (dx 0.9-1.1x fwd per stage). The weight
+    grad is the mix-and-match piece: XLA lowers the wgrad of the DILATED
+    stride-1 convs at 1.6x their forward cost (layer3/4 stage split,
+    benchmarks/bench_bwd_parts.py), while the same contraction as kh*kw
+    shifted big-K GEMMs (contract over B*Ho*Wo on the MXU, f32
+    accumulation) runs at par — recovering ~19 ms of the production
+    source_target step. Residuals are exactly (x, k), the same footprint
+    as plain autodiff."""
+    return _native_conv_impl(x, k, padding, dilation)
+
+
+def _native_gemm_vjp_fwd(x, k, padding, dilation):
+    return _native_conv_impl(x, k, padding, dilation), (x, k)
+
+
+def _native_gemm_vjp_bwd(padding, dilation, res, g):
+    x, k = res
+    kh, kw = k.shape[0], k.shape[1]
+    (ph0, ph1), (pw0, pw1) = padding
+    dh, dw = dilation
+    # dx: the standard transposed-conv identity on the SAME emitter XLA's
+    # autodiff uses (flipped, channel-transposed kernel, margins
+    # d*(k-1)-p; valid whenever p <= d*(k-1), guaranteed by eligibility).
+    kT = jnp.swapaxes(k, 2, 3)[::-1, ::-1]
+    dx = jax.lax.conv_general_dilated(
+        g, kT, (1, 1),
+        ((dh * (kh - 1) - ph0, dh * (kh - 1) - ph1),
+         (dw * (kw - 1) - pw0, dw * (kw - 1) - pw1)),
+        rhs_dilation=dilation, dimension_numbers=_CONV_DN)
+    # dk[i, j] = tap(i, j)^T @ g, contracting over (B, Ho, Wo);
+    # accumulate at least in f32 (f64 stays f64 for the CPU goldens).
+    acc_dt = jnp.promote_types(k.dtype, jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    ho, wo = g.shape[1], g.shape[2]
+    taps = [
+        jax.lax.dot_general(
+            xp[:, i * dh:i * dh + ho, j * dw:j * dw + wo, :], g,
+            (((0, 1, 2), (0, 1, 2)), ((), ())),
+            preferred_element_type=acc_dt)
+        for i in range(kh) for j in range(kw)
+    ]
+    dk = jnp.stack(taps).reshape(k.shape).astype(k.dtype)
+    return dx.astype(x.dtype), dk
+
+
+native_conv_gemm_wgrad.defvjp(_native_gemm_vjp_fwd, _native_gemm_vjp_bwd)
+
+
+def gemm_wgrad_eligible(kernel_size, strides, padding, dilation,
+                        groups: int) -> bool:
+    """Static eligibility for the GEMM-wgrad lowering: stride 1,
+    ungrouped, numeric padding within the transposed-conv margin bound
+    p <= d*(k-1) (every torch-style 'same' conv in the trunk/head)."""
+    if CONV_WGRAD != "gemm":
+        return False
+    if groups != 1 or tuple(strides) != (1, 1):
+        return False
+    try:
+        pads = tuple(map(tuple, padding))
+    except TypeError:
+        return False
+    return all(max(p0, p1) <= d * (kk - 1)
+               for (p0, p1), d, kk in zip(pads, dilation, kernel_size))
+
+
+class GemmWgradConv(nn.Module):
+    """Dense stride-1 conv with the GEMM weight-grad VJP; param layout
+    identical to flax ``nn.Conv`` ((kh, kw, Cin, Cout) under ``kernel``),
+    so checkpoints and torch imports are unaffected. Forward values are
+    bit-identical to nn.Conv (same emitter call)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    padding: Tuple[Tuple[int, int], Tuple[int, int]]
+    dilation: Tuple[int, int] = (1, 1)
+    use_bias: bool = False
+    dtype: Any = None
+    kernel_init: Callable = kaiming_normal_fan_in
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (kh, kw, x.shape[-1], self.features), jnp.float32)
+        dt = self.dtype or x.dtype
+        y = native_conv_gemm_wgrad(x.astype(dt), kernel.astype(dt),
+                                   tuple(map(tuple, self.padding)),
+                                   tuple(self.dilation))
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,),
+                              jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 def space_to_batch_conv(x, conv_apply, d: int):

@@ -19,9 +19,10 @@ from typing import Any, Sequence
 from flax import linen as nn
 
 from . import layers as layers_mod
-from .layers import (DenseStencilConv, FrozenBatchNorm, PallasDilatedConv,
-                     dense_stencil_eligible, kaiming_normal_fan_out,
-                     make_norm, pallas_conv_eligible, space_to_batch_conv)
+from .layers import (DenseStencilConv, FrozenBatchNorm, GemmWgradConv,
+                     PallasDilatedConv, dense_stencil_eligible,
+                     gemm_wgrad_eligible, kaiming_normal_fan_out, make_norm,
+                     pallas_conv_eligible, space_to_batch_conv)
 
 
 class Bottleneck(nn.Module):
@@ -80,6 +81,15 @@ class Bottleneck(nn.Module):
                            kernel_init=kaiming_normal_fan_out,
                            name="conv2")
             y = space_to_batch_conv(y, conv, d)
+        elif gemm_wgrad_eligible((3, 3), (self.strides, self.strides),
+                                 ((d, d), (d, d)), (d, d), self.groups):
+            # XLA emitter fwd/dgrad + GEMM wgrad (layers.CONV_WGRAD
+            # "gemm", the default): identical forward HLO, ~1.6x -> ~1x
+            # weight-grad on the dilated convs (bench_bwd_parts.py)
+            y = GemmWgradConv(width, (3, 3), ((d, d), (d, d)), (d, d),
+                              dtype=self.dtype,
+                              kernel_init=kaiming_normal_fan_out,
+                              name="conv2")(y)
         else:
             y = nn.Conv(width, (3, 3), strides=(self.strides, self.strides),
                         padding=((d, d), (d, d)), kernel_dilation=(d, d),

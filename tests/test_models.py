@@ -215,3 +215,67 @@ def test_depthwise_stencil_custom_vjp_matches_grouped_grads(pad, dil):
     np.testing.assert_allclose(np.asarray(dk_s),
                                np.asarray(dk_c).reshape(dk_s.shape),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("pad,dil", [(1, 1), (2, 2), (4, 4), (0, 1)])
+def test_gemm_wgrad_conv_matches_autodiff(pad, dil):
+    """native_conv_gemm_wgrad (layers.py) keeps XLA's conv emitter for
+    forward and input-grad but computes the weight grad as kh*kw shifted
+    big-K GEMMs (XLA's own wgrad of the dilated trunk convs measures
+    1.6x their forward on v5e, bench_bwd_parts.py). Forward must be
+    bit-identical to the plain lax conv and both grads must match
+    autodiff across the trunk's padding/dilation settings."""
+    from flax import linen as nn
+
+    from halo_tpu.models.layers import (gemm_wgrad_eligible,
+                                        native_conv_gemm_wgrad)
+
+    Cin, Cout = 6, 10
+    assert gemm_wgrad_eligible((3, 3), (1, 1), ((pad, pad), (pad, pad)),
+                               (dil, dil), 1)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 14, 18, Cin))
+    k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, Cin, Cout)) * 0.3
+
+    def f_plain(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((pad, pad), (pad, pad)), rhs_dilation=(dil, dil),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def f_gemm(x, k):
+        return native_conv_gemm_wgrad(x, k, ((pad, pad), (pad, pad)),
+                                      (dil, dil))
+
+    y_p = f_plain(x, k)
+    y_g = f_gemm(x, k)
+    np.testing.assert_array_equal(np.asarray(y_p), np.asarray(y_g))
+
+    cot = jax.random.normal(jax.random.PRNGKey(2), y_p.shape)
+    _, vjp_p = jax.vjp(f_plain, x, k)
+    _, vjp_g = jax.vjp(f_gemm, x, k)
+    dx_p, dk_p = vjp_p(cot)
+    dx_g, dk_g = vjp_g(cot)
+    np.testing.assert_allclose(np.asarray(dx_g), np.asarray(dx_p),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk_g), np.asarray(dk_p),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_gemm_wgrad_conv_module_param_layout():
+    """GemmWgradConv's param tree is layout-identical to flax nn.Conv so
+    checkpoints and torch imports round-trip across CONV_WGRAD modes, and
+    its forward equals nn.Conv on the same params."""
+    from flax import linen as nn
+
+    from halo_tpu.models.layers import GemmWgradConv
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 12, 16, 5))
+    g = GemmWgradConv(7, (3, 3), ((2, 2), (2, 2)), (2, 2))
+    c = nn.Conv(7, (3, 3), padding=((2, 2), (2, 2)), kernel_dilation=(2, 2),
+                use_bias=False)
+    v_g = g.init(jax.random.PRNGKey(1), x)
+    v_c = c.init(jax.random.PRNGKey(1), x)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, v_g)
+            == jax.tree_util.tree_map(lambda a: a.shape, v_c))
+    np.testing.assert_allclose(np.asarray(g.apply(v_g, x)),
+                               np.asarray(c.apply(v_g, x)),
+                               rtol=1e-6, atol=1e-6)
