@@ -462,3 +462,26 @@ def test_mixed_resolution_fit(mini_root, tmp_path):
     mask_dir = os.path.join(cfg.SAVE_DIR, "gtMask/train")
     n = sum(len(fs) for _r, _d, fs in os.walk(mask_dir))
     assert n == 5  # every image masked, both resolutions
+
+
+def test_conv_wgrad_modes_train_identically(mini_root, tmp_path):
+    """TPU.CONV_WGRAD=gemm (custom GEMM weight-grad VJP for the dense
+    stride-1 trunk convs, models/layers.py) must be a pure lowering
+    choice: forwards are bit-identical (same emitter HLO) and the
+    training trajectory matches the XLA-autodiff path to float
+    reassociation tolerance. Sequential builds because the mode is a
+    module-level lowering switch read at trace time."""
+    results = {}
+    for mode in ("conv", "gemm"):
+        cfg = tiny_cfg(mini_root, tmp_path / mode, "source")
+        cfg.TPU.CONV_WGRAD = mode
+        learner = build_learner(cfg)
+        hist = learner.fit(max_steps=3, val_interval=0)
+        results[mode] = ([h["loss"] for h in hist], learner.state.params)
+    np.testing.assert_allclose(results["gemm"][0], results["conv"][0],
+                               rtol=1e-6, atol=1e-7)
+    flat_g = jax.tree_util.tree_leaves(results["gemm"][1])
+    flat_c = jax.tree_util.tree_leaves(results["conv"][1])
+    for a, b in zip(flat_g, flat_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
