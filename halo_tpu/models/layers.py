@@ -580,8 +580,10 @@ class _DepthwiseStencil(nn.Module):
     kernel_size: Tuple[int, int]
     padding: Tuple[Tuple[int, int], Tuple[int, int]]
     dilation: Tuple[int, int]
+    use_bias: bool = False
     dtype: Any = None
     kernel_init: Callable = kaiming_normal_fan_in
+    bias_init: Callable = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x):
@@ -591,8 +593,13 @@ class _DepthwiseStencil(nn.Module):
         dt = self.dtype or x.dtype
         x = x.astype(dt)
         k = kernel.astype(dt)[:, :, 0]
-        return depthwise_stencil(x, k, tuple(map(tuple, self.padding)),
-                                 tuple(self.dilation))
+        y = depthwise_stencil(x, k, tuple(map(tuple, self.padding)),
+                              tuple(self.dilation))
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,),
+                              jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class ConvBNReLU(nn.Module):

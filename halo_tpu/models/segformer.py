@@ -30,7 +30,7 @@ from flax import linen as nn
 from ..ops import hyperbolic as hyp
 from ..ops.resize import resize_bilinear
 from .classifier import HyperMLRHead
-from .layers import torch_linear_kernel_init
+from .layers import _DepthwiseStencil, torch_linear_kernel_init
 
 
 class OverlapPatchEmbed(nn.Module):
@@ -96,9 +96,17 @@ class MixFFN(nn.Module):
     def __call__(self, x):
         hidden = self.dim * self.mlp_ratio
         y = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
-        y = nn.Conv(hidden, (3, 3), padding=((1, 1), (1, 1)),
-                    feature_group_count=hidden, dtype=self.dtype,
-                    name="dwconv")(y)
+        # Depthwise 3x3 as the shifted-MAC stencil rather than a grouped
+        # nn.Conv: XLA's grouped lowering measured ~35% slower on v5e
+        # (layers.py:_DepthwiseStencil; flagship evidence in
+        # benchmarks/bench_head_parts.py); train-safe via the
+        # depthwise_stencil custom VJP. Param layout identical to the
+        # grouped conv ((3,3,1,C) kernel + bias), so torch SegFormer
+        # imports (port_torch.py:96-97) are unaffected.
+        y = _DepthwiseStencil(hidden, (3, 3), ((1, 1), (1, 1)), (1, 1),
+                              use_bias=True, dtype=self.dtype,
+                              kernel_init=nn.initializers.lecun_normal(),
+                              name="dwconv")(y)
         # exact erf GELU — torch nn.GELU's default; flax's default is the
         # tanh approximation, which would break ported-checkpoint parity
         y = nn.gelu(y, approximate=False)
