@@ -1,4 +1,16 @@
-"""Fused Poincare-radius map kernel (Pallas, TPU).
+"""Fused Poincare-radius map kernel (Pallas, TPU) — MEASURED NEGATIVE
+RESULT, disabled by default.
+
+On v5e every variant of this kernel (MXU selector-contraction below, a
+VPU minor-axis reduce, block sizes 32-256) measured ~4 ms/map vs XLA's
+0.333 ms — XLA's own lowering of the batched dist0 chain already runs
+at ~101% of the embed-read roofline and Mosaic's gridded DMA pipeline
+loses 12x to XLA's fusion here (benchmarks/bench_radius_kernel.py;
+scoring.py:USE_PALLAS_RADIUS=False). Kept for the record and the
+interpret-mode tests; do not re-enable without beating that number.
+
+The design rationale below predates the measurement and explains what
+was tried, not what won.
 
 The 'radius' purity stage (reference: FloatingRegionScore.forward,
 core/active/floating_region.py:187-193 -> HyperMapper.poincare_distance_origin,

@@ -151,11 +151,13 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
                     # upsample is folded into the per-pixel score stage
                     # (fused_upsample_region_score; ULP-equal maps,
                     # bit-equal masks)
+                    native_size = size  # (H, W); `size=` below is the
+                    # (2r+1) score window — two unrelated meanings
                     score, _, _ = fused_upsample_region_score(
                         out[b],
                         (aux[b] if (needs_embed and aux is not None)
                          else None),
-                        size, gt[b] if gt_needed else None,
+                        native_size, gt[b] if gt_needed else None,
                         score_dtype=score_dtype, unc_type=unc_type,
                         pur_type=pur_type, size=2 * active_radius + 1,
                         num_classes=num_classes, K=K,

@@ -171,11 +171,15 @@ def entropy_from_logits(x, precise: bool = False):
     return (jnp.log(s) - t / s) / _LOG19
 
 
-def region_uncertainty(x, unc_type: str, size: int,
+def region_uncertainty(logits, unc_type: str, size: int,
                        ground_truth: Optional[jnp.ndarray] = None,
                        precise: bool = False):
-    """Windowed uncertainty map (H, W) from f32 logits
-    (reference :70-92, :158-163)."""
+    """Windowed uncertainty map (H, W) from f32 LOGITS — not softmax
+    probabilities; the softmax lives inside entropy_from_logits' one-pass
+    reduction (reference :70-92, :158-163, which takes logits too).
+    Public dispatch mirror of the reference's uncertainty modes; the
+    production chain inlines these branches in floating_region_score."""
+    x = logits
     if unc_type == "pixel_entropy":
         return entropy_from_logits(x, precise)
     if unc_type == "entropy":
@@ -439,9 +443,12 @@ def fused_upsample_region_score(logits_in, embed_in=None, native_hw=None,
       ground_truth: (H, W) int labels at native res (oracle_* types).
     """
     H, W = int(native_hw[0]), int(native_hw[1])
+    # blk need not divide H: every consumer slices [r0:r0+blk] statically,
+    # which clamps at H, so the tail block is simply shorter. (An exact-
+    # divisor search here degenerated to blk=1 for prime H — unrolling H
+    # single-row einsum blocks at trace time, minutes of compile through
+    # the relay for one odd-sized image.)
     blk = min(block_rows, H)
-    while H % blk:
-        blk -= 1
 
     from ..ops.resize import _contract_w, _interp_matrix
 

@@ -158,10 +158,11 @@ _C.TPU.FUSED_UPSAMPLE = True
 _C.TPU.CONV_WGRAD = "gemm"
 # Images per device dispatch during acquisition scoring (the reference
 # sweeps batch=1, core/train_learners.py:282-289; any value yields
-# identical masks). Values > 1 require every image in a dispatch to
-# share one native resolution (true for Cityscapes/ACDC target sets);
-# for mixed-resolution active sets use ACTIVE_BATCH 1, which matches
-# the reference's per-image size handling (build.py:118-126).
+# identical masks). Every image in one dispatch must share a native
+# resolution; for mixed-resolution active sets the active loader groups
+# batches by size automatically at any ACTIVE_BATCH (data/build.py
+# group_by_size, tested by test_engine.py::test_mixed_resolution_fit),
+# so no manual fallback to 1 is needed.
 _C.TPU.ACTIVE_BATCH = 4
 # Directory with dataset roots (reference hardcodes "datasets"; the catalog
 # also honors the HALO_DATASET_DIR environment variable).

@@ -147,6 +147,15 @@ class Segmentor(nn.Module):
 
 
 def build_segmentor(cfg) -> Segmentor:
+    # The TPU.* conv-lowering knobs are PROCESS-WIDE module globals read
+    # at trace time (layers.py:STENCIL_TRAIN/DENSE_CONV_MODE/CONV_WGRAD):
+    # the last build_segmentor call wins for every model in the process,
+    # including earlier ones on any later retrace (new input shape). All
+    # lowerings are value-identical (same params, reassociated sums), so
+    # interleaving models built with different knobs changes performance
+    # and float rounding only — never semantics — but benchmarks that A/B
+    # the knobs must build and run each variant to completion separately
+    # (as benchmarks/bench_* do).
     from . import layers
     layers.STENCIL_TRAIN = bool(getattr(cfg.TPU, "STENCIL_TRAIN", True))
     layers.DENSE_CONV_MODE = str(getattr(cfg.TPU, "DENSE_CONV_MODE", "conv"))

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import conv_grads
+
 # Use the shifted-MAC depthwise stencil in TRAIN mode too (via its custom
 # VJP below). Set from cfg.TPU.STENCIL_TRAIN by models.build; eval mode
 # always uses the stencil (it has no residuals to blow up).
@@ -319,17 +321,8 @@ def _dense_vjp_bwd(padding, dilation, res, g):
         ((dh * (kh - 1) - ph0, dh * (kh - 1) - ph1),
          (dw * (kw - 1) - pw0, dw * (kw - 1) - pw1)),
         dilation)
-    xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
-    ho, wo = g.shape[1], g.shape[2]
-    taps = [
-        jax.lax.dot_general(
-            xp[:, i * dh:i * dh + ho, j * dw:j * dw + wo, :], g,
-            (((0, 1, 2), (0, 1, 2)), ((), ())),
-            preferred_element_type=jnp.float32)
-        for i in range(kh) for j in range(kw)
-    ]
-    dk = jnp.stack(taps).reshape(k.shape).astype(k.dtype)
-    return dx.astype(x.dtype), dk
+    dk = conv_grads.wgrad_taps(x, g, padding, dilation, kh, kw)
+    return dx.astype(x.dtype), dk.astype(k.dtype)
 
 
 dense_stencil.defvjp(_dense_vjp_fwd, _dense_vjp_bwd)
@@ -380,20 +373,8 @@ def _native_gemm_vjp_bwd(padding, dilation, res, g):
         ((dh * (kh - 1) - ph0, dh * (kh - 1) - ph1),
          (dw * (kw - 1) - pw0, dw * (kw - 1) - pw1)),
         rhs_dilation=dilation, dimension_numbers=_CONV_DN)
-    # dk[i, j] = tap(i, j)^T @ g, contracting over (B, Ho, Wo);
-    # accumulate at least in f32 (f64 stays f64 for the CPU goldens).
-    acc_dt = jnp.promote_types(k.dtype, jnp.float32)
-    xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
-    ho, wo = g.shape[1], g.shape[2]
-    taps = [
-        jax.lax.dot_general(
-            xp[:, i * dh:i * dh + ho, j * dw:j * dw + wo, :], g,
-            (((0, 1, 2), (0, 1, 2)), ((), ())),
-            preferred_element_type=acc_dt)
-        for i in range(kh) for j in range(kw)
-    ]
-    dk = jnp.stack(taps).reshape(k.shape).astype(k.dtype)
-    return dx.astype(x.dtype), dk
+    dk = conv_grads.wgrad_taps(x, g, padding, dilation, kh, kw)
+    return dx.astype(x.dtype), dk.astype(k.dtype)
 
 
 native_conv_gemm_wgrad.defvjp(_native_gemm_vjp_fwd, _native_gemm_vjp_bwd)
@@ -408,12 +389,7 @@ def gemm_wgrad_eligible(kernel_size, strides, padding, dilation,
         return False
     if groups != 1 or tuple(strides) != (1, 1):
         return False
-    try:
-        pads = tuple(map(tuple, padding))
-    except TypeError:
-        return False
-    return all(max(p0, p1) <= d * (kk - 1)
-               for (p0, p1), d, kk in zip(pads, dilation, kernel_size))
+    return pad_within_margin(kernel_size, padding, dilation)
 
 
 class GemmWgradConv(nn.Module):
@@ -464,17 +440,12 @@ def space_to_batch_conv(x, conv_apply, d: int):
     return y.transpose(2, 3, 0, 4, 1, 5).reshape(B, H, W, Co)
 
 
-def dense_stencil_eligible(kernel_size, strides, padding, dilation,
-                           groups: int, mode: str = None) -> bool:
-    """Static eligibility for the dense shifted-GEMM lowering: stride 1,
-    ungrouped, numeric padding within the transposed-conv margin bound
-    p <= d*(k-1) the VJP needs."""
-    if (mode if mode is not None else DENSE_CONV_MODE) != "shift9":
-        return False
-    if groups != 1:
-        return False
-    if tuple(strides) != (1, 1):
-        return False
+def pad_within_margin(kernel_size, padding, dilation) -> bool:
+    """Numeric padding within the transposed-conv margin bound
+    p <= d*(k-1) — the dx eligibility every stencil-family custom VJP
+    needs (their dx is a forward pass with margins d*(k-1)-p, which
+    must be non-negative). Shared by all the eligibility predicates so
+    the bound cannot drift between copies."""
     if not isinstance(padding, (tuple, list)):
         return False
     try:
@@ -483,6 +454,18 @@ def dense_stencil_eligible(kernel_size, strides, padding, dilation,
         return False
     return all(max(p0, p1) <= d * (kk - 1)
                for (p0, p1), d, kk in zip(pads, dilation, kernel_size))
+
+
+def dense_stencil_eligible(kernel_size, strides, padding, dilation,
+                           groups: int, mode: str = None) -> bool:
+    """Static eligibility for the dense shifted-GEMM lowering: stride 1,
+    ungrouped, numeric padding within the transposed-conv margin bound
+    p <= d*(k-1) the VJP needs."""
+    if (mode if mode is not None else DENSE_CONV_MODE) != "shift9":
+        return False
+    if groups != 1 or tuple(strides) != (1, 1):
+        return False
+    return pad_within_margin(kernel_size, padding, dilation)
 
 
 class DenseStencilConv(nn.Module):
@@ -517,11 +500,12 @@ class DenseStencilConv(nn.Module):
 
 
 def pallas_conv_eligible(x_shape, cout: int, strides, dilation,
-                         groups: int) -> bool:
+                         groups: int, itemsize: int = 2) -> bool:
     """Static eligibility for the Pallas VMEM-resident dilated 3x3
     lowering (DENSE_CONV_MODE == "pallas"): dilated stride-1 ungrouped
-    conv whose padded input block fits VMEM, on a TPU backend (or under
-    the interpreter for tests)."""
+    conv whose padded input block fits VMEM at the compute dtype's
+    ``itemsize``, on a TPU backend (or under the interpreter for
+    tests)."""
     if DENSE_CONV_MODE != "pallas":
         return False
     if groups != 1 or tuple(strides) != (1, 1):
@@ -533,7 +517,8 @@ def pallas_conv_eligible(x_shape, cout: int, strides, dilation,
     if not (jax.default_backend() == "tpu" or pallas_conv.INTERPRET):
         return False
     return pallas_conv.supports(
-        tuple(x_shape), (3, 3, int(x_shape[-1]), int(cout)), d[0])
+        tuple(x_shape), (3, 3, int(x_shape[-1]), int(cout)), d[0],
+        itemsize)
 
 
 class PallasDilatedConv(nn.Module):
@@ -631,11 +616,8 @@ class ConvBNReLU(nn.Module):
                      and self.groups > 1 and self.groups == self.features
                      and x.shape[-1] == self.features
                      and self.strides == (1, 1) and not self.use_bias
-                     and isinstance(self.padding, (tuple, list))
-                     and all(max(p0, p1) <= d * (kk - 1)
-                             for (p0, p1), d, kk in
-                             zip(map(tuple, self.padding), self.dilation,
-                                 self.kernel_size)))
+                     and pad_within_margin(self.kernel_size, self.padding,
+                                           self.dilation))
         if depthwise:
             x = _DepthwiseStencil(
                 self.features, self.kernel_size,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from . import layers as layers_mod
@@ -58,7 +59,8 @@ class Bottleneck(nn.Module):
 
         d = self.dilation
         if pallas_conv_eligible(y.shape, width, (self.strides, self.strides),
-                                (d, d), self.groups):
+                                (d, d), self.groups,
+                                itemsize=jnp.dtype(y.dtype).itemsize):
             # VMEM-resident Pallas tap GEMMs (layers.DENSE_CONV_MODE
             # "pallas"): the padded input block is DMA'd once and all 9
             # shifted dots read it from VMEM (ops/pallas_conv.py)

@@ -30,6 +30,7 @@ from flax import linen as nn
 from ..ops import hyperbolic as hyp
 from ..ops.resize import resize_bilinear
 from .classifier import HyperMLRHead
+from . import layers as layers_mod
 from .layers import _DepthwiseStencil, torch_linear_kernel_init
 
 
@@ -91,6 +92,7 @@ class MixFFN(nn.Module):
     dim: int
     mlp_ratio: int = 4
     dtype: Any = None
+    train: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -98,15 +100,22 @@ class MixFFN(nn.Module):
         y = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
         # Depthwise 3x3 as the shifted-MAC stencil rather than a grouped
         # nn.Conv: XLA's grouped lowering measured ~35% slower on v5e
-        # (layers.py:_DepthwiseStencil; flagship evidence in
-        # benchmarks/bench_head_parts.py); train-safe via the
-        # depthwise_stencil custom VJP. Param layout identical to the
-        # grouped conv ((3,3,1,C) kernel + bias), so torch SegFormer
-        # imports (port_torch.py:96-97) are unaffected.
-        y = _DepthwiseStencil(hidden, (3, 3), ((1, 1), (1, 1)), (1, 1),
-                              use_bias=True, dtype=self.dtype,
-                              kernel_init=nn.initializers.lecun_normal(),
-                              name="dwconv")(y)
+        # (layers.py:_DepthwiseStencil; MiT-B4 end-to-end 55->69 img/s,
+        # benchmarks/bench_segformer.py); train-safe via the
+        # depthwise_stencil custom VJP, gated on TPU.STENCIL_TRAIN like
+        # ConvBNReLU so the documented escape hatch applies here too.
+        # Param layout identical to the grouped conv ((3,3,1,C) kernel +
+        # bias), so torch SegFormer imports (port_torch.py:96-97) and
+        # checkpoints are unaffected by the lowering choice.
+        if not self.train or layers_mod.STENCIL_TRAIN:
+            y = _DepthwiseStencil(hidden, (3, 3), ((1, 1), (1, 1)), (1, 1),
+                                  use_bias=True, dtype=self.dtype,
+                                  kernel_init=nn.initializers.lecun_normal(),
+                                  name="dwconv")(y)
+        else:
+            y = nn.Conv(hidden, (3, 3), padding=((1, 1), (1, 1)),
+                        feature_group_count=hidden, dtype=self.dtype,
+                        name="dwconv")(y)
         # exact erf GELU — torch nn.GELU's default; flax's default is the
         # tanh approximation, which would break ported-checkpoint parity
         y = nn.gelu(y, approximate=False)
@@ -120,6 +129,7 @@ class MiTBlock(nn.Module):
     sr_ratio: int
     mlp_ratio: int = 4
     dtype: Any = None
+    train: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -128,7 +138,7 @@ class MiTBlock(nn.Module):
                                    dtype=self.dtype, name="attn")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x = x + MixFFN(self.dim, self.mlp_ratio, dtype=self.dtype,
-                       name="ffn")(y)
+                       train=self.train, name="ffn")(y)
         return x
 
 
@@ -159,7 +169,8 @@ class MixVisionTransformer(nn.Module):
             for b in range(self.depths[s]):
                 x = block_cls(self.embed_dims[s], self.heads[s],
                               self.sr_ratios[s], self.mlp_ratio,
-                              dtype=self.dtype, name=f"block{s + 1}_{b}")(x)
+                              dtype=self.dtype, train=train,
+                              name=f"block{s + 1}_{b}")(x)
             x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                              name=f"norm{s + 1}")(x)
             feats[f"c{s + 1}"] = x

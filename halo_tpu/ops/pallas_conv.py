@@ -51,6 +51,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import conv_grads
+
 # Flipped by tests to run the kernel on the CPU interpreter.
 INTERPRET = False
 
@@ -59,30 +61,34 @@ INTERPRET = False
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _vmem_bytes(h, w, c, co, d, rb) -> int:
+def _vmem_bytes(h, w, c, co, d, rb, itemsize=2) -> int:
     """Working-set estimate: resident padded input + weights + one f32
-    accumulator block + double-buffered output blocks (bf16 sizing —
-    the production compute dtype)."""
-    itemsize = 2
+    accumulator block + double-buffered output blocks. ``itemsize`` is
+    the compute dtype's (2 = bf16, the production default; pass 4 for
+    f32 or the budget check under-counts 2x and Mosaic fails/spills)."""
     return ((h + 2 * d) * (w + 2 * d) * c * itemsize   # resident input
             + 9 * c * co * itemsize                     # weights
             + rb * w * co * 4                           # f32 accumulator
             + 2 * rb * w * co * itemsize)               # out blocks x2
 
 
-def _row_block(h: int, w: int, c: int, co: int, d: int) -> int:
+def _row_block(h: int, w: int, c: int, co: int, d: int,
+               itemsize: int = 2) -> int:
     """Largest divisor of ``h`` (<= 32 rows, >= ~1k GEMM rows when
     possible) whose working set fits the VMEM budget."""
     best = 0
     for rb in range(1, min(h, 32) + 1):
-        if h % rb == 0 and _vmem_bytes(h, w, c, co, d, rb) <= _VMEM_BUDGET:
+        if (h % rb == 0
+                and _vmem_bytes(h, w, c, co, d, rb, itemsize)
+                <= _VMEM_BUDGET):
             best = rb
     return best if best * w >= 1024 or best == h else 0
 
 
-def supports(x_shape, k_shape, d: int) -> bool:
+def supports(x_shape, k_shape, d: int, itemsize: int = 2) -> bool:
     """Static eligibility: dense 3x3, stride-1/pad-d/dilation-d signature
-    with lane-aligned channels and a padded input that fits VMEM."""
+    with lane-aligned channels and a padded input that fits VMEM at the
+    given compute itemsize."""
     if len(x_shape) != 4 or len(k_shape) != 4:
         return False
     b, h, w, c = map(int, x_shape)
@@ -91,7 +97,7 @@ def supports(x_shape, k_shape, d: int) -> bool:
         return False
     if c % 128 or co % 128 or w % 8:
         return False
-    return _row_block(h, w, c, co, d) > 0
+    return _row_block(h, w, c, co, d, itemsize) > 0
 
 
 def _kernel(x_ref, k_ref, o_ref, *, d: int, rb: int, w: int):
@@ -112,7 +118,7 @@ def _kernel(x_ref, k_ref, o_ref, *, d: int, rb: int, w: int):
 def _conv_impl(x, k, d: int):
     b, h, w, c = x.shape
     co = k.shape[-1]
-    rb = _row_block(h, w, c, co, d)
+    rb = _row_block(h, w, c, co, d, jnp.dtype(x.dtype).itemsize)
     xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
     k9 = k.reshape(9, c, co).astype(x.dtype)
     grid = (b, h // rb)
@@ -159,22 +165,22 @@ def _vjp_bwd(d, res, g):
     x, k = res
     g = g.astype(x.dtype)
     # dx: same-shape conv of g (pad d*(k-1)-p = d) with the flipped,
-    # IO-transposed kernel — the SAME Pallas operator.
-    kT = jnp.swapaxes(k, 2, 3)[::-1, ::-1]
-    dx = _conv_impl(g, kT.astype(k.dtype), d)
+    # IO-transposed kernel — the SAME Pallas operator when the
+    # TRANSPOSED shape also fits the budget (cin != cout changes the
+    # resident-input channel count, so a supports()-eligible forward
+    # does not imply an eligible dx; fall back to the XLA emitter
+    # rather than crash with a zero row block).
+    kT = jnp.swapaxes(k, 2, 3)[::-1, ::-1].astype(k.dtype)
+    if supports(g.shape, kT.shape, d, jnp.dtype(g.dtype).itemsize):
+        dx = _conv_impl(g, kT, d)
+    else:
+        dx = jax.lax.conv_general_dilated(
+            g, kT, (1, 1), ((d, d), (d, d)), rhs_dilation=(d, d),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     # dk: 9 big-K contractions over (B, H, W); XLA's dot emitter is
     # already at the MXU roofline for these.
-    xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
-    ho, wo = g.shape[1], g.shape[2]
-    taps = [
-        jax.lax.dot_general(
-            xp[:, i * d:i * d + ho, j * d:j * d + wo, :], g,
-            (((0, 1, 2), (0, 1, 2)), ((), ())),
-            preferred_element_type=jnp.float32)
-        for i in range(3) for j in range(3)
-    ]
-    dk = jnp.stack(taps).reshape(k.shape).astype(k.dtype)
-    return dx.astype(x.dtype), dk
+    dk = conv_grads.wgrad_taps(x, g, ((d, d), (d, d)), (d, d), 3, 3)
+    return dx.astype(x.dtype), dk.astype(k.dtype)
 
 
 dilated_conv3x3.defvjp(_vjp_fwd, _vjp_bwd)

@@ -370,6 +370,49 @@ def test_fused_upsample_scoring_bitequal(unc, pur):
                                   np.asarray(res_w.selected))
 
 
+def test_fused_upsample_ragged_blocks_prime_height():
+    """block_rows need not divide the native height: the tail block is
+    simply shorter. A prime native H (here 83) previously degenerated the
+    exact-divisor search to blk=1 — H unrolled single-row blocks at trace
+    time; now it runs [16,16,16,16,16,3] blocks and must still match the
+    materializing path bit-for-bit on the greedy mask."""
+    import jax.numpy as jnp
+    from halo_tpu.active.scoring import (floating_region_score,
+                                         fused_upsample_region_score)
+    from halo_tpu.ops.resize import resize_bilinear
+
+    rng = np.random.default_rng(13)
+    C, E = 19, 16
+    native = (83, 128)  # prime H
+    lg_in = jnp.asarray(rng.normal(size=(40, 64, C)) * 2, jnp.bfloat16)
+    em_in = jnp.asarray(rng.normal(size=(20, 32, E)) * 0.4, jnp.bfloat16)
+
+    out = resize_bilinear(lg_in.astype(jnp.float32), native)
+    aux = resize_bilinear(em_in.astype(jnp.float32), native)
+    want_s, _, _ = floating_region_score(
+        out.astype(jnp.bfloat16), aux.astype(jnp.bfloat16), None,
+        unc_type="entropy", pur_type="radius", size=3, num_classes=C,
+        K=50, normalize=True)
+    got_s, _, _ = fused_upsample_region_score(
+        lg_in, em_in, native, None, score_dtype=jnp.bfloat16,
+        block_rows=16, unc_type="entropy", pur_type="radius", size=3,
+        num_classes=C, K=50, normalize=True)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=0, atol=2e-6)
+
+    active_mask = jnp.full(native, 255, jnp.int32)
+    zeros = jnp.zeros(native, bool)
+    gt = jnp.asarray(rng.integers(0, C, native), jnp.int32)
+    res_w = select_pixels_to_label(want_s, active_mask, gt, zeros, zeros,
+                                   num_picks=25, active_radius=1,
+                                   mask_radius=3)
+    res_g = select_pixels_to_label(got_s, active_mask, gt, zeros, zeros,
+                                   num_picks=25, active_radius=1,
+                                   mask_radius=3)
+    np.testing.assert_array_equal(np.asarray(res_g.active_mask),
+                                  np.asarray(res_w.active_mask))
+
+
 def test_fused_upsample_native_passthrough():
     """When the model output is already at native size (resize no-op),
     the fused path must still score identically."""

@@ -189,3 +189,42 @@ def test_eligibility_guards():
     assert layers.DENSE_CONV_MODE == "conv"
     assert not dense_stencil_eligible((3, 3), (1, 1), ((1, 1), (1, 1)),
                                       (1, 1), 1)
+
+
+def test_pallas_conv_vjp_cin_neq_cout_dx_fallback():
+    """A supports()-eligible forward with cin != cout can have a dx whose
+    TRANSPOSED kernel exceeds the VMEM budget (the resident input channel
+    count changes); the VJP must fall back to the XLA emitter for dx
+    rather than emit a zero row block. Grads must still match autodiff."""
+    from halo_tpu.ops import pallas_conv
+
+    d = 2
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 8, 16, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 128, 256)), jnp.float32) * 0.05
+    g = jnp.asarray(rng.normal(size=(1, 8, 16, 256)), jnp.float32)
+    prev = pallas_conv.INTERPRET
+    pallas_conv.INTERPRET = True
+    try:
+        assert pallas_conv.supports(x.shape, k.shape, d, 4)
+        gx_o, gk_o = jax.grad(
+            lambda x, k: jnp.sum(pallas_conv.dilated_conv3x3(x, k, d) * g),
+            (0, 1))(x, k)
+    finally:
+        pallas_conv.INTERPRET = prev
+    gx_r, gk_r = jax.grad(
+        lambda x, k: jnp.sum(_conv_ref(x, k, d, d) * g), (0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_o), np.asarray(gx_r),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gk_o), np.asarray(gk_r),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_pallas_supports_itemsize_aware():
+    """supports() sizes the VMEM working set by the compute itemsize: a
+    shape that fits at bf16 (2 B) can exceed the budget at f32 (4 B)."""
+    from halo_tpu.ops import pallas_conv
+
+    shape, kshape = (1, 80, 160, 256), (3, 3, 256, 256)
+    assert pallas_conv.supports(shape, kshape, 2, itemsize=2)   # ~10 MB
+    assert not pallas_conv.supports(shape, kshape, 2, itemsize=4)  # ~19 MB
