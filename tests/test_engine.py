@@ -171,6 +171,83 @@ def test_classifier_lr_is_10x(mini_root, tmp_path):
     np.testing.assert_allclose(fea, -cfg.SOLVER.BASE_LR, rtol=1e-5)
 
 
+def test_optimizer_trajectory_matches_real_torch_stack(mini_root, tmp_path):
+    """Multi-step trajectory golden against the REAL torch optimizer stack.
+
+    Runs torch.optim.SGD (two groups, lr / lr*10) under
+    SequentialLR(LinearLR(0.01, W), PolynomialLR(total-W, power)) — built
+    exactly as the reference does (train_learners.py:167-208, including its
+    `num_iters -= warmup_iters` before PolynomialLR) — for 8 steps spanning
+    the warmup->poly boundary, feeding an identical fixed gradient sequence
+    to our optax chain, and asserts every parameter matches after every
+    step. Pins momentum accumulation (torch's first-step buf=grad), the
+    wd-before-momentum ordering, and SequentialLR's milestone indexing
+    (its restart-at-milestone quirk), none of which the single-step golden
+    or the closed-form schedule test can catch."""
+    import torch
+    from torch.optim.lr_scheduler import (LinearLR, PolynomialLR,
+                                          SequentialLR)
+    from halo_tpu.engine.optim import build_optimizer
+
+    BASE_LR, W, TOTAL, POWER, MOM, WD = 0.02, 3, 8, 0.5, 0.9, 5e-4
+    rng = np.random.default_rng(0)
+    fea0 = rng.normal(size=(4, 3)).astype(np.float32)
+    cls0 = rng.normal(size=(5,)).astype(np.float32)
+    grads_seq = [(rng.normal(size=(4, 3)).astype(np.float32),
+                  rng.normal(size=(5,)).astype(np.float32))
+                 for _ in range(TOTAL)]
+
+    # ---- reference stack, verbatim construction ----------------------
+    t_fea = torch.nn.Parameter(torch.from_numpy(fea0.copy()))
+    t_cls = torch.nn.Parameter(torch.from_numpy(cls0.copy()))
+    opt_fea = torch.optim.SGD([t_fea], lr=BASE_LR, momentum=MOM,
+                              weight_decay=WD)
+    opt_cls = torch.optim.SGD([t_cls], lr=BASE_LR * 10, momentum=MOM,
+                              weight_decay=WD)
+    num_iters = TOTAL - W
+    scheds = []
+    for opt in (opt_fea, opt_cls):
+        lin = LinearLR(opt, start_factor=0.01, total_iters=W)
+        poly = PolynomialLR(opt, num_iters, power=POWER)
+        scheds.append(SequentialLR(opt, schedulers=[lin, poly],
+                                   milestones=[W]))
+    torch_traj = []
+    for gf, gc in grads_seq:
+        opt_fea.zero_grad(); opt_cls.zero_grad()
+        t_fea.grad = torch.from_numpy(gf.copy())
+        t_cls.grad = torch.from_numpy(gc.copy())
+        opt_fea.step(); opt_cls.step()
+        for s in scheds:
+            s.step()
+        torch_traj.append((t_fea.detach().numpy().copy(),
+                           t_cls.detach().numpy().copy()))
+
+    # ---- our optax chain ---------------------------------------------
+    cfg = tiny_cfg(mini_root, tmp_path, "source")
+    cfg.SOLVER.BASE_LR = BASE_LR
+    cfg.SOLVER.WARMUP_ITERS = W
+    cfg.SOLVER.NUM_ITER = TOTAL
+    cfg.SOLVER.LR_POWER = POWER
+    cfg.SOLVER.MOMENTUM = MOM
+    cfg.SOLVER.WEIGHT_DECAY = WD
+    tx, _ = build_optimizer(cfg, 1)
+    params = {"feature_extractor": {"w": jnp.asarray(fea0)},
+              "classifier": {"w": jnp.asarray(cls0)}}
+    opt_state = tx.init(params)
+    import optax
+    for i, (gf, gc) in enumerate(grads_seq):
+        grads = {"feature_extractor": {"w": jnp.asarray(gf)},
+                 "classifier": {"w": jnp.asarray(gc)}}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(
+            np.asarray(params["feature_extractor"]["w"]), torch_traj[i][0],
+            rtol=2e-6, atol=1e-7, err_msg=f"fea step {i}")
+        np.testing.assert_allclose(
+            np.asarray(params["classifier"]["w"]), torch_traj[i][1],
+            rtol=2e-6, atol=1e-7, err_msg=f"cls step {i}")
+
+
 def test_resume_full_continues_from_step(mini_root, tmp_path):
     """Crash-restart resume: full trainer state (params+optimizer+step)
     round-trips and fit() continues from the saved step."""
