@@ -2,9 +2,16 @@
 
 Re-implements the reference metric path (core/utils/misc.py:20-47 and the
 learner copy core/train_learners.py:94-106; aggregation :141-150) as pure
-jittable JAX: per-class intersection/union/target histograms via bincount,
-reduced across a device mesh with one psum (replacing the reference's
+jittable JAX: per-class intersection/union/target histograms, reduced
+across a device mesh with one psum (replacing the reference's
 all_gather-then-sum, core/train_learners.py:130-165).
+
+The histograms are compare-accumulate, not ``jnp.bincount``: bincount
+lowers to scatter-add, which the TPU serializes — the bincount trio
+measured 54.9 ms per 1024x2048 image (dominating the whole 89 ms flip-TTA
+eval step) vs 0.06 ms for broadcasting ``pred == class`` over the small
+class axis and summing over pixels (benchmarks/bench_eval_parts.py; the
+compare fuses into the reduce, one VPU read pass per map, ~900x).
 """
 
 from __future__ import annotations
@@ -29,11 +36,12 @@ def intersection_and_union(pred, target, num_classes, ignore_index=255):
     valid = target != ignore_index
     pred = jnp.where(valid, pred, num_classes)  # funnel ignored into bin K
     target = jnp.where(valid, target, num_classes)
-    match = pred == target
-    inter = jnp.bincount(jnp.where(match, pred, num_classes),
-                         length=num_classes + 1)[:num_classes]
-    area_pred = jnp.bincount(pred, length=num_classes + 1)[:num_classes]
-    area_target = jnp.bincount(target, length=num_classes + 1)[:num_classes]
+    classes = jnp.arange(num_classes, dtype=pred.dtype)
+    pred_is = pred[:, None] == classes   # fused into the pixel reduce
+    target_is = target[:, None] == classes
+    inter = jnp.sum(pred_is & target_is, axis=0)
+    area_pred = jnp.sum(pred_is, axis=0)
+    area_target = jnp.sum(target_is, axis=0)
     union = area_pred + area_target - inter
     return (inter.astype(jnp.float32), union.astype(jnp.float32),
             area_target.astype(jnp.float32))
