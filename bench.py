@@ -107,7 +107,7 @@ def bench_scoring(dtype, n_small, n_big):
     return H * W / 1e6 / per_map
 
 
-def _flagship(train):
+def _flagship():
     from halo_tpu.config import get_default_cfg
     from halo_tpu.models import build_segmentor
 
@@ -117,6 +117,9 @@ def _flagship(train):
     cfg.resume = ""
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     model = build_segmentor(cfg)
+    # init with train=False: the variable structure is mode-independent
+    # for every model here (dropout holds no params, live-BN stats exist
+    # either way), and eval-mode init skips a dropout RNG threading
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
@@ -125,7 +128,7 @@ def _flagship(train):
 
 def bench_seg_inference():
     """Flagship forward (logits at input res) at 640x1280, bf16."""
-    _cfg, model, variables = _flagship(train=False)
+    _cfg, model, variables = _flagship()
     h, w = SEG_HW
 
     @jax.jit
@@ -156,7 +159,7 @@ def bench_train_step(n_steps=10):
     from halo_tpu.engine.state import state_from_variables
     from halo_tpu.engine.steps import make_train_step
 
-    cfg, model, variables = _flagship(train=True)
+    cfg, model, variables = _flagship()
     tx, _ = build_optimizer(cfg, 1)
     state = state_from_variables(variables, tx)
     step = jax.jit(make_train_step(cfg, model, tx, "source_target"),
@@ -192,8 +195,12 @@ def bench_train_step(n_steps=10):
 
 
 def main():
+    # deltas of 16/8 maps x 6 queued executions per sync = 96/48
+    # map-timings per jitter event (the queued analogue of CLAUDE.md's
+    # >=20-iteration single-dispatch rule); the f32 pool is capped by
+    # HBM (10 maps of f32 logits+embed = 7 GB of the 16 GB chip)
     mpx_bf16 = bench_scoring(jnp.bfloat16, 2, 18)  # production default
-    mpx_f32 = bench_scoring(jnp.float32, 2, 8)
+    mpx_f32 = bench_scoring(jnp.float32, 2, 10)
     img_s = bench_seg_inference()
     train_img_s = bench_train_step()
 

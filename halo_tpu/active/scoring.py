@@ -171,37 +171,6 @@ def entropy_from_logits(x, precise: bool = False):
     return (jnp.log(s) - t / s) / _LOG19
 
 
-def region_uncertainty(logits, unc_type: str, size: int,
-                       ground_truth: Optional[jnp.ndarray] = None,
-                       precise: bool = False):
-    """Windowed uncertainty map (H, W) from f32 LOGITS — not softmax
-    probabilities; the softmax lives inside entropy_from_logits' one-pass
-    reduction (reference :70-92, :158-163, which takes logits too).
-    Public dispatch mirror of the reference's uncertainty modes; the
-    production chain inlines these branches in floating_region_score."""
-    x = logits
-    if unc_type == "pixel_entropy":
-        return entropy_from_logits(x, precise)
-    if unc_type == "entropy":
-        return box_filter(entropy_from_logits(x, precise), size)
-    if unc_type == "oracle_acc":
-        p = jax.nn.softmax(x, axis=-1)
-        pred = jnp.argmax(x, axis=-1)
-        gt = jnp.where(ground_truth == 255, pred, ground_truth)
-        # one-hot contraction: take_along_axis's minor-axis gather is
-        # ~50x slower on TPU (benchmarks/bench_ce.py)
-        p_true = jnp.sum(p * jax.nn.one_hot(gt, p.shape[-1], dtype=p.dtype),
-                         axis=-1)
-        return box_filter(1.0 - p_true, size)
-    # 'none' plus the reference's dead 'hyperbolic'/'certainty' options,
-    # which fall through to a zeros map (floating_region.py:84-91). The
-    # zeros branch is NOT box-filtered in the reference only for 'none';
-    # for the dead options it is filtered, but a filtered zeros map is
-    # still zeros, so one branch covers all three.
-    h, w = x.shape[0], x.shape[1]
-    return jnp.zeros((h, w), jnp.float32)
-
-
 def region_impurity(predict, num_classes: int, size: int):
     """Per-window class-histogram entropy / log(K) and window pixel count
     (reference: compute_region_impurity, floating_region.py:112-121).

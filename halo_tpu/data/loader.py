@@ -99,9 +99,19 @@ class DataLoader:
         self._rng_aware = _accepts_rng(dataset)
 
     def __len__(self):
-        # lower bound under group_by_size (each extra resolution bucket
-        # can add one padded/dropped trailing batch)
         n = len(self.dataset)
+        if self.group_by_size:
+            # exact: each resolution bucket pads/drops its own trailing
+            # partial batch (native_size is a cached header probe;
+            # __iter__ already calls it for every index each epoch)
+            counts: Dict[tuple, int] = {}
+            for i in range(n):
+                key = tuple(self.dataset.native_size(i))
+                counts[key] = counts.get(key, 0) + 1
+            if self.drop_last:
+                return sum(c // self.batch_size for c in counts.values())
+            return sum((c + self.batch_size - 1) // self.batch_size
+                       for c in counts.values())
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

@@ -240,13 +240,16 @@ def _stencil_vjp_bwd(padding, dilation, res, g):
         ((dh * (kh - 1) - ph0, dh * (kh - 1) - ph1),
          (dw * (kw - 1) - pw0, dw * (kw - 1) - pw1)),
         dilation)
-    # dk: one fused multiply+reduce per tap, f32 accumulation.
+    # dk: one fused multiply+reduce per tap; accumulate in at least f32
+    # (f64 cotangents stay f64 so CPU x64 goldens stay exact, matching
+    # conv_grads.wgrad_taps' promotion policy).
+    acc_dt = jnp.promote_types(g.dtype, jnp.float32)
     xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
     ho, wo = g.shape[1], g.shape[2]
-    gf = g.astype(jnp.float32)
+    gf = g.astype(acc_dt)
     taps = [
         jnp.sum(xp[:, i * dh:i * dh + ho, j * dw:j * dw + wo, :]
-                .astype(jnp.float32) * gf, axis=(0, 1, 2))
+                .astype(acc_dt) * gf, axis=(0, 1, 2))
         for i in range(kh) for j in range(kw)
     ]
     dk = jnp.stack(taps).reshape(kh, kw, -1).astype(k.dtype)

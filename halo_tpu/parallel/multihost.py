@@ -93,8 +93,12 @@ def sum_over_hosts(values: dict) -> dict:
     single-process runs). Used so per-process counts — e.g. the
     acquisition round's disjoint-writer stats — report round totals.
     Integer entries ride an int64 allgather (exact at any magnitude,
-    not just below 2^53), float entries a float64 one; every process
-    sees the same dict keys, so the collective count always matches."""
+    not just below 2^53), float entries a float64 one. Every process
+    must see the same dict keys; the int-vs-float partition, however, is
+    AGREED across hosts first (one tiny int allgather): a key whose
+    value is int on one host but float on another (e.g. a branch
+    yielding 0 vs 0.0) would otherwise split the keys differently per
+    host and issue mismatched collectives — a deadlock, not an error."""
     if process_count() == 1:
         return values
     import numpy as np
@@ -106,10 +110,14 @@ def sum_over_hosts(values: dict) -> dict:
         assert g.shape == (process_count(), len(keys)), g.shape
         return g.sum(axis=0)
 
-    int_keys = sorted(k for k, v in values.items()
-                      if isinstance(v, (int, np.integer))
-                      and not isinstance(v, bool))
-    flt_keys = sorted(k for k in values if k not in int_keys)
+    all_keys = sorted(values)
+    local_is_int = np.asarray(
+        [isinstance(values[k], (int, np.integer))
+         and not isinstance(values[k], bool) for k in all_keys], np.int64)
+    agreed = np.asarray(
+        multihost_utils.process_allgather(local_is_int)).min(axis=0)
+    int_keys = [k for k, flag in zip(all_keys, agreed) if flag]
+    flt_keys = [k for k in all_keys if k not in int_keys]
     out = {}
     if int_keys:
         tot = _gather(int_keys, np.int64)
@@ -117,8 +125,9 @@ def sum_over_hosts(values: dict) -> dict:
                     for i, k in enumerate(int_keys)})
     if flt_keys:
         tot = _gather(flt_keys, np.float64)
-        out.update({k: type(values[k])(tot[i])
-                    for i, k in enumerate(flt_keys)})
+        # plain float even where this host's local value was int (mixed
+        # int/float key): every host must return the identical total
+        out.update({k: float(tot[i]) for i, k in enumerate(flt_keys)})
     return out
 
 
