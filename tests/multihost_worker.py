@@ -73,6 +73,15 @@ def main():
         assert isinstance(tot["images"], int)
         assert abs(tot["px"] - 10.5 * args.nprocs) < 1e-9
 
+        # a key that is int on one host and float on another must not
+        # split the collectives differently per host (deadlock class);
+        # the agreed partition demotes it to float everywhere
+        tot = multihost.sum_over_hosts(
+            {"mixed": 0 if args.pid == 0 else 0.5, "n": 1})
+        assert isinstance(tot["mixed"], float)
+        assert abs(tot["mixed"] - 0.5 * (args.nprocs - 1)) < 1e-9
+        assert tot["n"] == args.nprocs and isinstance(tot["n"], int)
+
         # barrier orders coordinator writes before peer reads
         flag_file = os.path.join(args.out, "barrier_flag")
         if multihost.is_coordinator():
