@@ -13,8 +13,16 @@ import os
 # imported by the interpreter's sitecustomize.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA's CPU collective rendezvous kills the PROCESS (abseil check-fail ->
+# SIGABRT) if any participant arrives >40 s after the first. On a 1-core
+# host the 8 virtual devices' pre-collective compute runs time-sliced, so
+# a heavy program (or a loaded host) trips it spuriously — observed as a
+# fatal abort in test_eight_device_spmd while a benchmark shared the host.
+if "collective_call_terminate_timeout" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = flags
 
 # The environment may pre-import jax (site customization) with
 # JAX_PLATFORMS pointed at a real accelerator; env vars are too late by
