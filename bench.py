@@ -107,7 +107,7 @@ def bench_scoring(dtype, n_small, n_big):
     return H * W / 1e6 / per_map
 
 
-def _flagship():
+def _flagship(quant_eval=False):
     from halo_tpu.config import get_default_cfg
     from halo_tpu.models import build_segmentor
 
@@ -116,6 +116,7 @@ def _flagship():
     cfg.MODEL.WEIGHTS = ""
     cfg.resume = ""
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.TPU.QUANT_EVAL = quant_eval
     model = build_segmentor(cfg)
     # init with train=False: the variable structure is mode-independent
     # for every model here (dropout holds no params, live-BN stats exist
@@ -126,10 +127,20 @@ def _flagship():
     return cfg, model, variables
 
 
-def bench_seg_inference():
-    """Flagship forward (logits at input res) at 640x1280, bf16."""
-    _cfg, model, variables = _flagship()
+def bench_seg_inference(quant_eval=False):
+    """Flagship forward (logits at input res) at 640x1280 — bf16, or the
+    int8 W8A8 eval path (TPU.QUANT_EVAL: stride-1 ungrouped convs on the
+    MXU's double-rate s8 pipeline; calibrated here on random pool
+    slices, which is fine for a THROUGHPUT measurement)."""
+    _cfg, model, variables = _flagship(quant_eval)
     h, w = SEG_HW
+    if quant_eval:
+        from halo_tpu.ops import quant
+
+        k = jax.random.PRNGKey(7)
+        variables = quant.calibrate(
+            model, variables,
+            [jax.random.normal(k, (1, h, w, 3), jnp.float32)], size=(h, w))
 
     @jax.jit
     def infer(variables, x, n):
@@ -202,6 +213,7 @@ def main():
     mpx_bf16 = bench_scoring(jnp.bfloat16, 2, 18)  # production default
     mpx_f32 = bench_scoring(jnp.float32, 2, 10)
     img_s = bench_seg_inference()
+    img_s_int8 = bench_seg_inference(quant_eval=True)
     train_img_s = bench_train_step()
 
     print(json.dumps({
@@ -218,6 +230,9 @@ def main():
         "seg_vs_baseline": round(img_s / A100_SEG_IMG_S, 2),
         "seg_vs_baseline_range": [round(img_s / 80.0, 2),
                                   round(img_s / 40.0, 2)],
+        # opt-in int8 W8A8 eval path (TPU.QUANT_EVAL; PTQ numerics —
+        # the bf16 number above stays the like-for-like A100 comparison)
+        "seg_int8_img_per_s": round(img_s_int8, 2),
         "train_img_per_s": round(train_img_s, 2),
     }))
 

@@ -163,6 +163,16 @@ _C.TPU.CONV_WGRAD = "gemm"
 # batches by size automatically at any ACTIVE_BATCH (data/build.py
 # group_by_size, tested by test_engine.py::test_mixed_resolution_fit),
 # so no manual fallback to 1 is needed.
+# Post-training int8 (W8A8) eval path: route the stride-1 ungrouped
+# convs (the dilated trunk minus the stem, plus the decoder's dense
+# convs) through symmetric int8 on the MXU's double-rate s8 pipeline
+# (394 vs 197 bf16 TOPS on v5e; measured 1.7-2.0x at these shapes —
+# benchmarks/bench_int8.py). Inference-serving knob: requires a
+# calibration pass (halo_tpu.ops.quant.calibrate) before eval, adds a
+# `quant` variable collection, and changes numerics (per-tensor act /
+# per-channel weight symmetric quantization); the training protocols and
+# every reference-parity surface keep the float path.
+_C.TPU.QUANT_EVAL = False
 _C.TPU.ACTIVE_BATCH = 4
 # Directory with dataset roots (reference hardcodes "datasets"; the catalog
 # also honors the HALO_DATASET_DIR environment variable).

@@ -160,5 +160,10 @@ def build_segmentor(cfg) -> Segmentor:
     layers.STENCIL_TRAIN = bool(getattr(cfg.TPU, "STENCIL_TRAIN", True))
     layers.DENSE_CONV_MODE = str(getattr(cfg.TPU, "DENSE_CONV_MODE", "conv"))
     layers.CONV_WGRAD = str(getattr(cfg.TPU, "CONV_WGRAD", "gemm"))
+    # QUANT_EVAL additionally changes the VARIABLE STRUCTURE (a `quant`
+    # collection per eligible conv), so a quantized build's variables are
+    # not interchangeable with a float build's — init and calibrate
+    # (ops/quant.calibrate) the quantized model explicitly.
+    layers.QUANT_EVAL = bool(getattr(cfg.TPU, "QUANT_EVAL", False))
     return Segmentor(feature_extractor=build_feature_extractor(cfg),
                      classifier=build_classifier(cfg))

@@ -41,6 +41,13 @@ STENCIL_TRAIN = True
 #              Falls back to "conv" where unsupported.
 DENSE_CONV_MODE = "conv"
 
+# Route eligible convs (stride-1, ungrouped) through the int8 W8A8 eval
+# path (QuantConv below). Set from cfg.TPU.QUANT_EVAL by models.build.
+# Like the other lowering knobs this is read at init/trace time, but
+# unlike them it also adds a `quant` variable collection to the model —
+# a quantized build is a distinct model instance with its own variables.
+QUANT_EVAL = False
+
 # Weight-grad lowering for the dense stride-1 convs (orthogonal to the
 # forward DENSE_CONV_MODE). Set from cfg.TPU.CONV_WGRAD by models.build:
 #   "gemm" (default) — custom VJP keeping XLA's emitter for forward and
@@ -427,6 +434,117 @@ class GemmWgradConv(nn.Module):
         return y
 
 
+def quant_eligible(strides, groups: int) -> bool:
+    """Static eligibility for the int8 W8A8 eval lowering: the knob is
+    on and the conv is stride-1 and ungrouped (the families the MXU
+    double-rate s8 path was measured on — benchmarks/bench_int8.py).
+    The stem (stride 2), depthwise convs (VPU stencil), and every
+    logits/embedding-producing conv stay float (the call sites simply
+    never dispatch here for those)."""
+    return QUANT_EVAL and tuple(strides) == (1, 1) and groups == 1
+
+
+class QuantConv(nn.Module):
+    """Drop-in ``nn.Conv`` with an int8 W8A8 eval path (TPU.QUANT_EVAL).
+
+    Param layout is identical to flax ``nn.Conv`` ((kh, kw, Cin, Cout)
+    under ``kernel`` plus optional ``bias``), so checkpoints and torch
+    imports are unaffected. Per-layer quantization state lives in the
+    ``quant`` collection: ``amax`` (running activation absmax, scalar),
+    ``w_int8``/``w_scale`` (per-output-channel symmetric weights frozen
+    at calibration time, so inference never re-reads the f32 kernels).
+
+    Three modes, chosen at trace time:
+      * ``train=True``   — float conv via the XLA emitter (bit-identical
+        to ``nn.Conv``); training a quantized build works but skips the
+        GEMM-wgrad lowering (quantized builds are for serving).
+      * ``quant`` collection mutable — CALIBRATION: float conv, plus
+        ``amax = max(amax, |x|_max)`` and a weight-quantization snapshot
+        (ops/quant.calibrate drives this).
+      * otherwise (eval) — int8: activations quantize against ``amax``
+        in the producer's epilogue, the conv accumulates int32 on the
+        MXU's double-rate s8 path, and the f32 dequant + bias cast back
+        to the compute dtype so BN/ReLU fuse as usual.
+
+    Bias stays float: it adds AFTER dequantization, exactly as in the
+    float path.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    kernel_dilation: Tuple[int, int] = (1, 1)
+    use_bias: bool = False
+    train: bool = True
+    dtype: Any = None
+    kernel_init: Callable = kaiming_normal_fan_in
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops import quant
+
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (kh, kw, x.shape[-1], self.features), jnp.float32)
+        amax = self.variable(
+            "quant", "amax", lambda: jnp.zeros((), jnp.float32))
+        w_int8 = self.variable(
+            "quant", "w_int8",
+            lambda: jnp.zeros((kh, kw, x.shape[-1], self.features),
+                              jnp.int8))
+        w_scale = self.variable(
+            "quant", "w_scale",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        calibrating = self.is_mutable_collection("quant")
+        dt = self.dtype or x.dtype
+
+        pad = self.padding
+        if not isinstance(pad, str):
+            pad = tuple(map(tuple, pad))
+        if self.train or calibrating:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt), kernel.astype(dt), self.strides, pad,
+                rhs_dilation=self.kernel_dilation,
+                dimension_numbers=_CONV_DN)
+            if calibrating and not self.is_initializing():
+                amax.value = jnp.maximum(
+                    amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+                w_int8.value, w_scale.value = quant.quantize_weight(kernel)
+        else:
+            y = quant.int8_conv(
+                x, w_int8.value, w_scale.value, amax.value, self.strides,
+                pad, self.kernel_dilation).astype(dt)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,),
+                              jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def make_conv(features, kernel_size, strides=(1, 1), padding="SAME",
+              dilation=(1, 1), groups: int = 1, use_bias: bool = False,
+              train: bool = True, dtype=None,
+              kernel_init=kaiming_normal_fan_in,
+              bias_init=nn.initializers.zeros, name=None):
+    """``nn.Conv``, or ``QuantConv`` when the int8 eval path is on and
+    the conv is eligible (quant_eligible). Shared by every call site so
+    the eligibility rule cannot drift."""
+    if quant_eligible(strides, groups):
+        return QuantConv(
+            features, kernel_size, strides=strides, padding=padding,
+            kernel_dilation=dilation, use_bias=use_bias, train=train,
+            dtype=dtype, kernel_init=kernel_init, bias_init=bias_init,
+            name=name)
+    return nn.Conv(
+        features, kernel_size, strides=strides, padding=padding,
+        kernel_dilation=dilation, feature_group_count=groups,
+        use_bias=use_bias, dtype=dtype, kernel_init=kernel_init,
+        bias_init=bias_init, name=name)
+
+
 def space_to_batch_conv(x, conv_apply, d: int):
     """Dilated stride-1 conv via space-to-batch: the d*d interleaved
     subgrids stack on the batch axis, ``conv_apply`` runs UNdilated with
@@ -627,6 +745,16 @@ class ConvBNReLU(nn.Module):
                 tuple(map(tuple, self.padding)), self.dilation,
                 dtype=self.dtype, kernel_init=self.kernel_init,
                 name="conv")(x)
+        elif quant_eligible(self.strides, self.groups):
+            # int8 W8A8 eval path (TPU.QUANT_EVAL): takes precedence over
+            # the float lowering variants — all decoder dense convs here
+            # are stride-1/ungrouped, the shapes bench_int8.py measured
+            # at the MXU's double s8 rate.
+            x = QuantConv(
+                self.features, self.kernel_size, strides=self.strides,
+                padding=self.padding, kernel_dilation=self.dilation,
+                use_bias=self.use_bias, train=self.train, dtype=self.dtype,
+                kernel_init=self.kernel_init, name="conv")(x)
         elif (self.groups == 1 and not self.use_bias
               and max(self.kernel_size) > 1
               and dense_stencil_eligible(self.kernel_size, self.strides,

@@ -21,9 +21,10 @@ from flax import linen as nn
 
 from . import layers as layers_mod
 from .layers import (DenseStencilConv, FrozenBatchNorm, GemmWgradConv,
-                     PallasDilatedConv, dense_stencil_eligible,
-                     gemm_wgrad_eligible, kaiming_normal_fan_out, make_norm,
-                     pallas_conv_eligible, space_to_batch_conv)
+                     PallasDilatedConv, QuantConv, dense_stencil_eligible,
+                     gemm_wgrad_eligible, kaiming_normal_fan_out, make_conv,
+                     make_norm, pallas_conv_eligible, quant_eligible,
+                     space_to_batch_conv)
 
 
 class Bottleneck(nn.Module):
@@ -51,14 +52,27 @@ class Bottleneck(nn.Module):
         out_ch = self.planes * self.expansion
         identity = x
 
-        y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
-                    kernel_init=kaiming_normal_fan_out, name="conv1")(x)
+        # The 1x1 reduce/expand convs are always stride 1 here (torch
+        # puts the stride on the 3x3), so make_conv routes them through
+        # the int8 eval path under TPU.QUANT_EVAL.
+        y = make_conv(width, (1, 1), use_bias=False, train=self.train,
+                      dtype=self.dtype, kernel_init=kaiming_normal_fan_out,
+                      name="conv1")(x)
         y = make_norm(self.freeze_bn, width, dtype=self.dtype,
                       train=self.train, name="bn1")(y)
         y = nn.relu(y)
 
         d = self.dilation
-        if pallas_conv_eligible(y.shape, width, (self.strides, self.strides),
+        if quant_eligible((self.strides, self.strides), self.groups):
+            # int8 W8A8 eval path (TPU.QUANT_EVAL) — covers every trunk
+            # 3x3 except layer2's stride-2 first block; the dilated conv
+            # emitter runs s8 at the MXU double rate (bench_int8.py).
+            y = QuantConv(width, (3, 3), padding=((d, d), (d, d)),
+                          kernel_dilation=(d, d), train=self.train,
+                          dtype=self.dtype,
+                          kernel_init=kaiming_normal_fan_out,
+                          name="conv2")(y)
+        elif pallas_conv_eligible(y.shape, width, (self.strides, self.strides),
                                 (d, d), self.groups,
                                 itemsize=jnp.dtype(y.dtype).itemsize):
             # VMEM-resident Pallas tap GEMMs (layers.DENSE_CONV_MODE
@@ -102,15 +116,18 @@ class Bottleneck(nn.Module):
                       train=self.train, name="bn2")(y)
         y = nn.relu(y)
 
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
-                    kernel_init=kaiming_normal_fan_out, name="conv3")(y)
+        y = make_conv(out_ch, (1, 1), use_bias=False, train=self.train,
+                      dtype=self.dtype, kernel_init=kaiming_normal_fan_out,
+                      name="conv3")(y)
         y = make_norm(self.freeze_bn, out_ch, dtype=self.dtype,
                       train=self.train, name="bn3")(y)
 
         if self.has_downsample:
-            identity = nn.Conv(
+            # Stride-1 downsamples (layer1 and the dilated stages'
+            # first blocks) quantize; layer2's stride-2 one stays float.
+            identity = make_conv(
                 out_ch, (1, 1), strides=(self.strides, self.strides),
-                use_bias=False, dtype=self.dtype,
+                use_bias=False, train=self.train, dtype=self.dtype,
                 kernel_init=kaiming_normal_fan_out, name="downsample_conv")(x)
             identity = make_norm(
                 self.freeze_bn, out_ch, dtype=self.dtype, train=self.train,

@@ -1,0 +1,172 @@
+"""int8 PTQ eval path (TPU.QUANT_EVAL, ops/quant.py, layers.QuantConv).
+
+The reference has no quantized path (its eval runs the fp32/fp16 model,
+core/train_learners.py:57-92); these tests pin the TPU-native extension:
+exact int8 conv semantics on quantization-grid inputs, param-layout
+compatibility with the float build, calibration bookkeeping, and the
+end-to-end quantized-vs-float logits envelope on the tiny flagship.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from halo_tpu.config import get_default_cfg
+from halo_tpu.models import build_segmentor
+from halo_tpu.models import layers as layers_mod
+from halo_tpu.models.layers import QuantConv
+from halo_tpu.ops import quant
+
+
+def _cfg(quant_eval):
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "deeplabv3plus_resnettiny"
+    cfg.MODEL.HYPER = True
+    cfg.MODEL.HFR = True
+    cfg.MODEL.REDUCED_CHANNELS = 64
+    cfg.MODEL.FREEZE_BN = True
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.QUANT_EVAL = quant_eval
+    return cfg
+
+
+def _init(model, x, train=False):
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    return model.init(rngs, x, train=train)
+
+
+@pytest.fixture()
+def quant_off():
+    """Restore the process-global knob after each test (build_segmentor
+    sets it; direct QuantConv tests set it implicitly not at all)."""
+    yield
+    layers_mod.QUANT_EVAL = False
+
+
+def test_int8_conv_exact_on_grid(quant_off):
+    """With power-of-two scales and grid-aligned inputs, the int8 path is
+    BIT-EXACT vs the float conv: products 0.5i * 0.25j = 0.125*ij are
+    exact in f32 and the int32 accumulation is exact by construction."""
+    rng = np.random.default_rng(0)
+    cin, cout = 8, 4
+    # x = 0.5 * ints in [-127, 127], containing the extreme so the
+    # calibrated amax lands exactly on 63.5 -> sx = 0.5.
+    xi = rng.integers(-127, 128, (1, 12, 16, cin))
+    xi.flat[0] = 127
+    x = jnp.asarray(0.5 * xi, jnp.float32)
+    # kernel = 0.25 * ints with per-channel max |int| = 127 -> ws = 0.25.
+    ki = rng.integers(-127, 128, (3, 3, cin, cout))
+    ki[0, 0, 0, :] = 127
+    kernel = jnp.asarray(0.25 * ki, jnp.float32)
+
+    mod = QuantConv(cout, (3, 3), padding=((1, 1), (1, 1)), train=False)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    variables = {**variables, "params": {"kernel": kernel}}
+    # Calibrate on the grid input itself.
+    _, mut = mod.apply(variables, x, mutable=["quant"])
+    assert float(mut["quant"]["amax"]) == 63.5
+    np.testing.assert_array_equal(
+        np.asarray(mut["quant"]["w_int8"]), ki)
+    np.testing.assert_array_equal(
+        np.asarray(mut["quant"]["w_scale"]), np.full(cout, 0.25, np.float32))
+
+    got = mod.apply({**variables, "quant": mut["quant"]}, x)
+    want = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_conv_clips_beyond_amax(quant_off):
+    """Activations beyond the calibrated absmax clip to the grid edge."""
+    x = jnp.asarray([[[[1.0], [300.0]]]], jnp.float32)  # (1,1,2,1)
+    k = jnp.ones((1, 1, 1, 1), jnp.float32)
+    y = quant.int8_conv(x, *quant.quantize_weight(k),
+                        jnp.float32(127.0), (1, 1), "VALID", (1, 1))
+    np.testing.assert_allclose(np.asarray(y)[0, 0, :, 0], [1.0, 127.0])
+
+
+def test_quant_build_param_layout_unchanged(quant_off):
+    """params/frozen trees of the quantized build match the float build
+    exactly (checkpoints and torch imports are unaffected); the quant
+    build only ADDS the `quant` collection."""
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    vq = _init(build_segmentor(_cfg(True)), x)
+    vf = _init(build_segmentor(_cfg(False)), x)
+    for coll in ("params", "frozen", "batch_stats"):
+        assert jax.tree_util.tree_structure(vq[coll]) == \
+            jax.tree_util.tree_structure(vf[coll]), coll
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(vq[coll]),
+                jax.tree_util.tree_leaves_with_path(vf[coll])):
+            assert a.shape == b.shape, (coll, pa)
+    assert "quant" in vq and "quant" not in vf
+    # Same init RNG -> identical param values too.
+    for a, b in zip(jax.tree_util.tree_leaves(vq["params"]),
+                    jax.tree_util.tree_leaves(vf["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_calibrate_and_guard(quant_off):
+    model = build_segmentor(_cfg(True))
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3), jnp.float32)
+    variables = _init(model, x)
+    with pytest.raises(ValueError, match="uncalibrated"):
+        quant.assert_calibrated(variables)
+    with pytest.raises(ValueError, match="quant"):
+        quant.assert_calibrated({"params": {}})
+    with pytest.raises(ValueError, match="at least one batch"):
+        quant.calibrate(model, variables, [])
+
+    cal1 = quant.calibrate(model, variables, [x])
+    quant.assert_calibrated(cal1)
+    # Running max: a second, 2x-scaled batch only raises amax values.
+    cal2 = quant.calibrate(model, cal1, [2.0 * x])
+    for (p1, a1), (_p2, a2) in zip(
+            jax.tree_util.tree_leaves_with_path(cal1["quant"]),
+            jax.tree_util.tree_leaves_with_path(cal2["quant"])):
+        if "amax" in jax.tree_util.keystr(p1):
+            assert float(a2) >= float(a1) > 0.0
+
+
+def test_quantized_logits_close_to_float(quant_off):
+    """End-to-end envelope on the tiny flagship: per-tensor-act /
+    per-channel-weight int8 through ~10 trunk+decoder convs stays within
+    a few percent of the float logits (threshold pinned from the
+    deterministic CPU run with margin; it guards regressions like a
+    mis-scaled dequant, which shifts relative error to O(1))."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 3), jnp.float32)
+    model_q = build_segmentor(_cfg(True))
+    vq = _init(model_q, x)
+    vq = quant.calibrate(model_q, vq, [x])
+    out_q, embed_q = model_q.apply(vq, x, train=False)
+
+    model_f = build_segmentor(_cfg(False))
+    vf = {k: v for k, v in vq.items() if k != "quant"}
+    out_f, embed_f = model_f.apply(vf, x, train=False)
+
+    rel = (np.linalg.norm(np.asarray(out_q - out_f)) /
+           np.linalg.norm(np.asarray(out_f)))
+    assert np.isfinite(np.asarray(out_q)).all()
+    assert rel < 0.15, rel
+    agree = np.mean(np.argmax(np.asarray(out_q), -1) ==
+                    np.argmax(np.asarray(out_f), -1))
+    assert agree > 0.6, agree
+
+
+def test_train_mode_passthrough(quant_off):
+    """A quantized build in TRAIN mode computes the float forward —
+    matching the float build exactly (same emitter calls)."""
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 64, 64, 3), jnp.float32)
+    model_q = build_segmentor(_cfg(True))
+    vq = _init(model_q, x)
+    out_q, _ = model_q.apply(
+        vq, x, train=True, rngs={"dropout": jax.random.PRNGKey(5)},
+        mutable=["batch_stats"])[0]
+    model_f = build_segmentor(_cfg(False))
+    vf = {k: v for k, v in vq.items() if k != "quant"}
+    out_f, _ = model_f.apply(
+        vf, x, train=True, rngs={"dropout": jax.random.PRNGKey(5)},
+        mutable=["batch_stats"])[0]
+    np.testing.assert_array_equal(np.asarray(out_q), np.asarray(out_f))
