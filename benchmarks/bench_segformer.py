@@ -114,6 +114,28 @@ if __name__ == "__main__":
     img_s, per_img = bench_infer(model, variables)
     print(f"inference @640x1280 bf16: {img_s:.1f} img/s "
           f"({per_img*1e3:.1f} ms/img)", flush=True)
+
+    # int8 W8A8 eval leg (TPU.QUANT_EVAL): QuantDense over the MiT
+    # attention/FFN projections with Cin>=128 plus the head's fuse conv
+    # (per-GEMM premise in bench_int8_mit.py). PTQ numerics — the bf16
+    # row above stays the like-for-like number.
+    from halo_tpu.ops import quant
+    cfg_q = _cfg()
+    cfg_q.TPU.QUANT_EVAL = True
+    model_q = build_segmentor(cfg_q)
+    vq = model_q.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    vq = {**vq, "params": variables["params"]}
+    vq = quant.calibrate(
+        model_q, vq,
+        [jax.random.normal(jax.random.PRNGKey(2), (1, H, W, 3),
+                           jnp.float32)], size=(H, W))
+    img_s_q, per_img_q = bench_infer(model_q, vq)
+    print(f"inference @640x1280 int8 W8A8: {img_s_q:.1f} img/s "
+          f"({per_img_q*1e3:.1f} ms/img)", flush=True)
+
+    model = build_segmentor(_cfg())  # restore float lowering globals
     tr_img_s, per_step = bench_train(cfg, model, variables)
     print(f"source_target step (2+2 @640x1280): {tr_img_s:.1f} img/s "
           f"({per_step*1e3:.1f} ms/step)", flush=True)

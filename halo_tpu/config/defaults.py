@@ -173,6 +173,9 @@ _C.TPU.CONV_WGRAD = "gemm"
 # per-channel weight symmetric quantization); the training protocols and
 # every reference-parity surface keep the float path.
 _C.TPU.QUANT_EVAL = False
+# Eval batches fed through the model to calibrate the PTQ activation
+# absmax (TestLearner._calibrate_quant) before a QUANT_EVAL eval.
+_C.TPU.QUANT_CALIB_BATCHES = 2
 _C.TPU.ACTIVE_BATCH = 4
 # Directory with dataset roots (reference hardcodes "datasets"; the catalog
 # also honors the HALO_DATASET_DIR environment variable).

@@ -518,6 +518,24 @@ class TestLearner(Learner):
 
     def __init__(self, cfg):
         super().__init__(cfg)
+        # int8 W8A8 serving path: PTQ calibration must follow the weight
+        # load (the frozen int8 kernels snapshot params as of calibration
+        # — ops/quant.py), so it runs here, after Learner.__init__ has
+        # applied MODEL.WEIGHTS/resume. The training protocols keep the
+        # float path; only this serving surface calibrates.
+        if bool(getattr(cfg.TPU, "QUANT_EVAL", False)):
+            self._calibrate_quant()
+
+    def _calibrate_quant(self):
+        from ..ops import quant as quant_ops
+        n = max(1, int(getattr(self.cfg.TPU, "QUANT_CALIB_BATCHES", 2)))
+        imgs = [img for img, _ in
+                itertools.islice(self._eval_batches(self.val_loader()), n)]
+        variables = quant_ops.calibrate(
+            self.model, self.state.variables(), imgs)
+        self.state = self.state.replace(
+            quant=replicate_tree(variables["quant"], self.mesh))
+        quant_ops.assert_calibrated(self.state.variables())
 
     def train_loaders(self):  # pragma: no cover
         raise RuntimeError("TestLearner does not train")

@@ -26,6 +26,10 @@ class TrainState:
     frozen: Any
     batch_stats: Any
     opt_state: Any
+    # int8 PTQ state (amax/w_int8/w_scale per quantized layer) for
+    # TPU.QUANT_EVAL builds; empty otherwise (ops/quant.py). Rides the
+    # state so eval steps and checkpoints carry the calibration.
+    quant: Any = struct.field(default_factory=dict)
 
     def variables(self) -> Dict:
         v = {"params": self.params}
@@ -33,6 +37,8 @@ class TrainState:
             v["frozen"] = self.frozen
         if self.batch_stats:
             v["batch_stats"] = self.batch_stats
+        if self.quant:
+            v["quant"] = self.quant
         return v
 
 
@@ -44,6 +50,7 @@ def state_from_variables(variables, tx) -> TrainState:
         frozen=variables.get("frozen", {}),
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
+        quant=variables.get("quant", {}),
     )
 
 
@@ -59,6 +66,7 @@ def save_checkpoint(state: TrainState, path: str,
         # to_state_dict: optax NamedTuple states -> plain nested dicts
         "opt_state": serialization.to_state_dict(
             jax.device_get(state.opt_state)),
+        "quant": jax.device_get(state.quant),
         "extra": extra or {},
     }
     with open(path, "wb") as f:
@@ -81,6 +89,10 @@ def restore_state(state: TrainState, path: str) -> TrainState:
             state.batch_stats, blob["batch_stats"]),
         opt_state=serialization.from_state_dict(
             state.opt_state, blob["opt_state"]),
+        # pre-quant checkpoints have no "quant" key; a float build
+        # restoring a quantized checkpoint keeps its empty dict
+        quant=(serialization.from_state_dict(state.quant, blob["quant"])
+               if state.quant and blob.get("quant") else state.quant),
     )
 
 

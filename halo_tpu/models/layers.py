@@ -524,6 +524,93 @@ class QuantConv(nn.Module):
         return y
 
 
+class QuantDense(nn.Module):
+    """Drop-in ``nn.Dense`` with an int8 W8A8 eval path (TPU.QUANT_EVAL).
+
+    The transformer-family counterpart of QuantConv, same contract:
+    param layout identical to flax ``nn.Dense`` ((Cin, Cout) ``kernel``
+    plus optional ``bias``) so checkpoints and torch imports are
+    unaffected; quantization state (``amax``, ``w_int8``, ``w_scale``)
+    lives in the ``quant`` collection; three trace-time modes (train ->
+    float dot, calibrating -> float dot + absmax/weight snapshot, eval ->
+    s8 x s8 -> s32 on the MXU's double-rate path, f32 dequant).
+
+    Hardware premise measured per MiT GEMM shape in
+    benchmarks/bench_int8_mit.py — the small-dim transformer GEMMs are
+    traffic-bound, so int8's halved bytes pay even where MXU utilization
+    is far below peak... EXCEPT below ``min_cin`` input channels, where a
+    K<128 contraction underfills the MXU's lanes and the activation-
+    quantize epilogue costs more than the GEMM saves (measured 0.87x at
+    Cin=64). Narrow layers fall back to the plain float dense, with no
+    ``quant`` variables (the input width is static, so the variable
+    structure stays deterministic per build).
+    """
+
+    features: int
+    use_bias: bool = True
+    train: bool = True
+    dtype: Any = None
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+    min_cin: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops import quant
+
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), jnp.float32)
+        if x.shape[-1] < self.min_cin:
+            dt = self.dtype or x.dtype
+            y = jnp.dot(x.astype(dt), kernel.astype(dt))
+            if self.use_bias:
+                bias = self.param("bias", self.bias_init,
+                                  (self.features,), jnp.float32)
+                y = y + bias.astype(y.dtype)
+            return y
+        amax = self.variable(
+            "quant", "amax", lambda: jnp.zeros((), jnp.float32))
+        w_int8 = self.variable(
+            "quant", "w_int8",
+            lambda: jnp.zeros((x.shape[-1], self.features), jnp.int8))
+        w_scale = self.variable(
+            "quant", "w_scale",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        calibrating = self.is_mutable_collection("quant")
+        dt = self.dtype or x.dtype
+
+        if self.train or calibrating:
+            y = jnp.dot(x.astype(dt), kernel.astype(dt))
+            if calibrating and not self.is_initializing():
+                amax.value = jnp.maximum(
+                    amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+                w_int8.value, w_scale.value = quant.quantize_weight(kernel)
+        else:
+            y = quant.int8_dense(
+                x, w_int8.value, w_scale.value, amax.value).astype(dt)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,),
+                              jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def make_dense(features, use_bias=True, train=True, dtype=None,
+               kernel_init=nn.initializers.lecun_normal(),
+               bias_init=nn.initializers.zeros, name=None):
+    """``nn.Dense``, or ``QuantDense`` when the int8 eval path is on.
+
+    Dense layers have no stride/group axis, so eligibility is just the
+    knob — call sites keep logits/embedding producers on plain
+    ``nn.Dense`` themselves (the standard last-layer PTQ exclusion)."""
+    if QUANT_EVAL:
+        return QuantDense(features, use_bias=use_bias, train=train,
+                          dtype=dtype, kernel_init=kernel_init,
+                          bias_init=bias_init, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype,
+                    kernel_init=kernel_init, bias_init=bias_init, name=name)
+
+
 def make_conv(features, kernel_size, strides=(1, 1), padding="SAME",
               dilation=(1, 1), groups: int = 1, use_bias: bool = False,
               train: bool = True, dtype=None,

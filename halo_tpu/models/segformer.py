@@ -31,7 +31,8 @@ from ..ops import hyperbolic as hyp
 from ..ops.resize import resize_bilinear
 from .classifier import HyperMLRHead
 from . import layers as layers_mod
-from .layers import _DepthwiseStencil, torch_linear_kernel_init
+from .layers import (_DepthwiseStencil, make_conv, make_dense,
+                     torch_linear_kernel_init)
 
 
 class OverlapPatchEmbed(nn.Module):
@@ -54,17 +55,27 @@ class OverlapPatchEmbed(nn.Module):
 
 
 class EfficientAttention(nn.Module):
-    """MHA with spatial-reduction KV (SegFormer eq. 2)."""
+    """MHA with spatial-reduction KV (SegFormer eq. 2).
+
+    The q/kv/proj projections route through make_dense, so the int8
+    W8A8 eval path (TPU.QUANT_EVAL) picks them up — measured 1.4-2.0x
+    per GEMM on the MXU's double-rate s8 pipeline
+    (benchmarks/bench_int8_mit.py). The attention einsums themselves
+    stay bf16 (their scales are per-batch dynamic, outside PTQ's
+    calibrated-static scheme).
+    """
 
     dim: int
     heads: int
     sr_ratio: int
     dtype: Any = None
+    train: bool = True
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        q = nn.Dense(self.dim, dtype=self.dtype, name="q")(x)
+        q = make_dense(self.dim, dtype=self.dtype, train=self.train,
+                       name="q")(x)
         kv_in = x
         if self.sr_ratio > 1:
             kv_in = nn.Conv(self.dim, (self.sr_ratio, self.sr_ratio),
@@ -72,8 +83,10 @@ class EfficientAttention(nn.Module):
                             dtype=self.dtype, name="sr")(x)
             kv_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                  name="sr_norm")(kv_in)  # official: plain LN
-        k = nn.Dense(self.dim, dtype=self.dtype, name="k")(kv_in)
-        v = nn.Dense(self.dim, dtype=self.dtype, name="v")(kv_in)
+        k = make_dense(self.dim, dtype=self.dtype, train=self.train,
+                       name="k")(kv_in)
+        v = make_dense(self.dim, dtype=self.dtype, train=self.train,
+                       name="v")(kv_in)
 
         hd = self.dim // self.heads
         q = q.reshape(b, h * w, self.heads, hd)
@@ -85,7 +98,8 @@ class EfficientAttention(nn.Module):
             q.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w,
                                                              self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return make_dense(self.dim, dtype=self.dtype, train=self.train,
+                          name="proj")(out)
 
 
 class MixFFN(nn.Module):
@@ -97,7 +111,8 @@ class MixFFN(nn.Module):
     @nn.compact
     def __call__(self, x):
         hidden = self.dim * self.mlp_ratio
-        y = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
+        y = make_dense(hidden, dtype=self.dtype, train=self.train,
+                       name="fc1")(x)
         # Depthwise 3x3 as the shifted-MAC stencil rather than a grouped
         # nn.Conv: XLA's grouped lowering measured ~35% slower on v5e
         # (layers.py:_DepthwiseStencil; MiT-B4 end-to-end 55->69 img/s,
@@ -119,7 +134,8 @@ class MixFFN(nn.Module):
         # exact erf GELU — torch nn.GELU's default; flax's default is the
         # tanh approximation, which would break ported-checkpoint parity
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
+        y = make_dense(self.dim, dtype=self.dtype, train=self.train,
+                       name="fc2")(y)
         return y
 
 
@@ -135,7 +151,8 @@ class MiTBlock(nn.Module):
     def __call__(self, x):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         x = x + EfficientAttention(self.dim, self.heads, self.sr_ratio,
-                                   dtype=self.dtype, name="attn")(y)
+                                   dtype=self.dtype, train=self.train,
+                                   name="attn")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x = x + MixFFN(self.dim, self.mlp_ratio, dtype=self.dtype,
                        train=self.train, name="ffn")(y)
@@ -215,13 +232,19 @@ class SegFormerHead(nn.Module):
         target_hw = feats["c1"].shape[1:3]
         ups = []
         for s in range(4):
-            y = nn.Dense(self.embed_dim, dtype=self.dtype,
-                         kernel_init=torch_linear_kernel_init,
-                         name=f"linear_c{s + 1}")(feats[f"c{s + 1}"])
+            y = make_dense(self.embed_dim, dtype=self.dtype,
+                           kernel_init=torch_linear_kernel_init,
+                           train=train,
+                           name=f"linear_c{s + 1}")(feats[f"c{s + 1}"])
             ups.append(resize_bilinear(y, target_hw))
         y = jnp.concatenate(ups[::-1], axis=-1)
-        y = nn.Conv(self.embed_dim, (1, 1), use_bias=False,
-                    dtype=self.dtype, name="fuse_conv")(y)
+        # stride-1 ungrouped 1x1 — QuantConv-eligible under the same rule
+        # as the flagship decoder (the `cls`/`conv_reduce` producers
+        # below stay float: standard last-layer PTQ exclusion)
+        y = make_conv(self.embed_dim, (1, 1), use_bias=False,
+                      train=train, dtype=self.dtype,
+                      kernel_init=nn.initializers.lecun_normal(),
+                      name="fuse_conv")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="fuse_bn")(y)
         return nn.relu(y)

@@ -132,6 +132,32 @@ def test_validation_and_test_learner(mini_root, tmp_path):
     assert len(result["iou_class"]) == 19
 
 
+def test_test_learner_quant_eval(mini_root, tmp_path):
+    """TPU.QUANT_EVAL through the serving surface: TestLearner auto-
+    calibrates the PTQ state after the weight load (amax > 0 everywhere),
+    the `quant` collection rides TrainState into the jitted eval step,
+    and the quantized eval produces a sane IoU table. The reference has
+    no quantized path — this is the TPU-native serving extension
+    (ops/quant.py)."""
+    cfg = tiny_cfg(mini_root, tmp_path, "test")
+    cfg.TPU.QUANT_EVAL = True
+    cfg.TPU.QUANT_CALIB_BATCHES = 1
+    from halo_tpu.engine import TestLearner
+    from halo_tpu.models import layers as layers_mod
+    try:
+        learner = TestLearner(cfg)
+        assert learner.state.quant, "quantized build carries no PTQ state"
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+                learner.state.quant):
+            if "amax" in jax.tree_util.keystr(path):
+                assert float(leaf) > 0.0, path
+        result = learner.test(max_batches=2)
+        assert 0 <= result["mIoU"] <= 100
+        assert np.isfinite(result["mIoU"])
+    finally:
+        layers_mod.QUANT_EVAL = False
+
+
 def test_test_learner_save_embed_and_viz(mini_root, tmp_path):
     """TEST.SAVE_EMBED dumps embed/pred/output; VIZ_WRONG writes panels
     (reference: train_learners.py:598-623)."""

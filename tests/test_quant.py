@@ -15,7 +15,7 @@ import pytest
 from halo_tpu.config import get_default_cfg
 from halo_tpu.models import build_segmentor
 from halo_tpu.models import layers as layers_mod
-from halo_tpu.models.layers import QuantConv
+from halo_tpu.models.layers import QuantConv, QuantDense
 from halo_tpu.ops import quant
 
 
@@ -153,6 +153,85 @@ def test_quantized_logits_close_to_float(quant_off):
     agree = np.mean(np.argmax(np.asarray(out_q), -1) ==
                     np.argmax(np.asarray(out_f), -1))
     assert agree > 0.6, agree
+
+
+def test_int8_dense_exact_on_grid(quant_off):
+    """QuantDense's int8 path is bit-exact vs the float dot on
+    quantization-grid inputs (same construction as the conv test:
+    power-of-two scales, products exact in f32, int32 accumulation)."""
+    rng = np.random.default_rng(1)
+    cin, cout = 128, 16
+    xi = rng.integers(-127, 128, (4, cin))
+    xi.flat[0] = 127
+    x = jnp.asarray(0.5 * xi, jnp.float32)
+    ki = rng.integers(-127, 128, (cin, cout))
+    ki[0, :] = 127
+    kernel = jnp.asarray(0.25 * ki, jnp.float32)
+
+    mod = QuantDense(cout, use_bias=False, train=False)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    variables = {**variables, "params": {"kernel": kernel}}
+    _, mut = mod.apply(variables, x, mutable=["quant"])
+    assert float(mut["quant"]["amax"]) == 63.5
+    np.testing.assert_array_equal(np.asarray(mut["quant"]["w_int8"]), ki)
+
+    got = mod.apply({**variables, "quant": mut["quant"]}, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(x @ kernel))
+
+
+def test_quant_dense_narrow_fallback(quant_off):
+    """Below min_cin input channels QuantDense is a plain float dense —
+    no `quant` variables (the K<128 GEMM underfills the MXU lanes and
+    int8 measured 0.87x there, benchmarks/bench_int8_mit.py)."""
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, 64), jnp.float32)
+    mod = QuantDense(32, train=False)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    assert "quant" not in variables
+    import flax.linen as fnn
+    ref = fnn.Dense(32).apply({"params": variables["params"]}, x)
+    np.testing.assert_array_equal(np.asarray(mod.apply(variables, x)),
+                                  np.asarray(ref))
+
+
+def _sf_cfg(quant_eval):
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "segformer_mittiny"
+    cfg.MODEL.HYPER = True
+    cfg.MODEL.REDUCED_CHANNELS = 16
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.QUANT_EVAL = quant_eval
+    return cfg
+
+
+def test_segformer_quant_build(quant_off):
+    """The SegFormer family quantizes through the same knob: identical
+    params layout vs the float build, wide dense layers carry quant
+    state, narrow (Cin<128) ones stay float, and the calibrated int8
+    eval stays within the PTQ envelope of the float logits."""
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 64, 64, 3), jnp.float32)
+    model_q = build_segmentor(_sf_cfg(True))
+    vq = _init(model_q, x)
+    model_f = build_segmentor(_sf_cfg(False))
+    vf = _init(model_f, x)
+    assert jax.tree_util.tree_structure(vq["params"]) == \
+        jax.tree_util.tree_structure(vf["params"])
+    names = [jax.tree_util.keystr(p) for p, _ in
+             jax.tree_util.tree_leaves_with_path(vq["quant"])]
+    # mittiny dims (16,32,64,128; FFN hidden 4x): stage-4 attention and
+    # the stage-2+ fc2 clear min_cin=128; stage-1's narrow layers do not.
+    assert any("block4_0" in n for n in names)
+    assert not any("block1_0" in n for n in names)
+    assert any("fuse_conv" in n for n in names)     # 1x1 QuantConv
+    assert not any("mlr" in n or "conv_reduce" in n for n in names)
+
+    vq = quant.calibrate(model_q, vq, [x])
+    out_q, _ = model_q.apply(vq, x, train=False)
+    out_f, _ = model_f.apply({k: v for k, v in vq.items() if k != "quant"},
+                             x, train=False)
+    rel = (np.linalg.norm(np.asarray(out_q - out_f)) /
+           np.linalg.norm(np.asarray(out_f)))
+    assert np.isfinite(np.asarray(out_q)).all()
+    assert rel < 0.15, rel
 
 
 def test_train_mode_passthrough(quant_off):
