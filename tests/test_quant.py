@@ -234,6 +234,41 @@ def test_segformer_quant_build(quant_off):
     assert rel < 0.15, rel
 
 
+def test_quant_state_checkpoint_roundtrip(quant_off, tmp_path):
+    """Calibrated PTQ state rides TrainState through save/restore, so a
+    serving process can restore a calibrated checkpoint without
+    re-calibrating; float-build states (empty quant) are unaffected by
+    blobs either way."""
+    import optax
+    from halo_tpu.engine.state import (restore_state, save_checkpoint,
+                                       state_from_variables)
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 64, 64, 3), jnp.float32)
+    model = build_segmentor(_cfg(True))
+    v = quant.calibrate(model, _init(model, x), [x])
+    tx = optax.sgd(0.1)
+    state = state_from_variables(v, tx)
+    assert state.quant
+    path = str(tmp_path / "q.ckpt")
+    save_checkpoint(state, path)
+
+    fresh = state_from_variables(_init(model, x), tx)  # uncalibrated
+    with pytest.raises(ValueError, match="uncalibrated"):
+        quant.assert_calibrated(fresh.variables())
+    restored = restore_state(fresh, path)
+    quant.assert_calibrated(restored.variables())
+    for a, b in zip(jax.tree_util.tree_leaves(state.quant),
+                    jax.tree_util.tree_leaves(restored.quant)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # float build restoring the quantized blob: quant stays empty
+    layers_mod.QUANT_EVAL = False
+    model_f = build_segmentor(_cfg(False))
+    vf = _init(model_f, x)
+    state_f = state_from_variables(vf, tx)
+    restored_f = restore_state(state_f, path)
+    assert not restored_f.quant
+
+
 def test_train_mode_passthrough(quant_off):
     """A quantized build in TRAIN mode computes the float forward —
     matching the float build exactly (same emitter calls)."""
