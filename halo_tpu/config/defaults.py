@@ -173,9 +173,17 @@ _C.TPU.CONV_WGRAD = "gemm"
 # per-channel weight symmetric quantization); the training protocols and
 # every reference-parity surface keep the float path.
 _C.TPU.QUANT_EVAL = False
-# Eval batches fed through the model to calibrate the PTQ activation
-# absmax (TestLearner._calibrate_quant) before a QUANT_EVAL eval.
+# Calibration batches fed through the model to set the PTQ activation
+# absmax (TestLearner._calibrate_quant) before a QUANT_EVAL eval. Batches
+# are drawn from the TARGET TRAIN split under the test transform (never
+# the eval split being scored).
 _C.TPU.QUANT_CALIB_BATCHES = 2
+# Force recalibration even when the restored checkpoint already carries
+# calibrated PTQ scales (default: restored calibration is kept).
+_C.TPU.QUANT_RECALIBRATE = False
+# In-training validation cadence in steps (the reference hardcodes
+# Lightning's val_check_interval=500, train.py:135); 0 disables.
+_C.TPU.VAL_INTERVAL = 500
 _C.TPU.ACTIVE_BATCH = 4
 # Directory with dataset roots (reference hardcodes "datasets"; the catalog
 # also honors the HALO_DATASET_DIR environment variable).

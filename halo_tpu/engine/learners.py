@@ -511,6 +511,30 @@ class FullySupervisedLearner(SourceTargetLearner):
         pass
 
 
+class _CalibImages:
+    """Image-only view of a target dataset for PTQ calibration: reads just
+    the image files from the split's data_list and applies the given
+    (test) transform with an all-ignore label pair, so the active-mask
+    store is never touched (a pure serving run has no gtMask files)."""
+
+    def __init__(self, ds, transform):
+        self.split = ds.split
+        self.active = getattr(ds, "active", False)
+        self._files = ds.data_list
+        self._transform = transform
+
+    def __len__(self):
+        return len(self._files)
+
+    def __getitem__(self, index, rng=None):
+        from PIL import Image
+        image = Image.open(self._files[index]["img"]).convert("RGB")
+        w, h = image.size
+        pair = np.full((h, w, 2), 255, np.uint8)
+        image, pair = self._transform(image, pair, rng)
+        return {"img": image, "label": pair[..., 0].astype(np.int32)}
+
+
 class TestLearner(Learner):
     """Evaluation-only runtime (reference Test, :589-715)."""
 
@@ -522,15 +546,54 @@ class TestLearner(Learner):
         # load (the frozen int8 kernels snapshot params as of calibration
         # — ops/quant.py), so it runs here, after Learner.__init__ has
         # applied MODEL.WEIGHTS/resume. The training protocols keep the
-        # float path; only this serving surface calibrates.
+        # float path; only this serving surface calibrates. A resume from
+        # an already-calibrated checkpoint (state.py carries `quant`
+        # through load_module_params) keeps its scales — recalibration is
+        # opt-in via TPU.QUANT_RECALIBRATE.
         if bool(getattr(cfg.TPU, "QUANT_EVAL", False)):
-            self._calibrate_quant()
+            from ..ops import quant as quant_ops
+            try:
+                quant_ops.assert_calibrated(self.state.variables())
+                restored_calibrated = True
+            except ValueError:
+                restored_calibrated = False
+            if (not restored_calibrated or
+                    bool(getattr(cfg.TPU, "QUANT_RECALIBRATE", False))):
+                self._calibrate_quant()
+
+    def _calib_loader(self):
+        """Calibration batches come from the TARGET TRAIN split under the
+        TEST transform — serving-shaped inputs that are disjoint from the
+        eval split being scored (standard PTQ hygiene: calibrating on the
+        first val batches leaks the eval distribution into the serving
+        scales). The split is read image-only (_CalibImages): a pure
+        serving run has no gtMask store, and calibration needs no labels.
+        Falls back to the val loader when the train split is unavailable
+        (e.g. a val-only dataset drop)."""
+        from ..data.build import build_transform
+        cfg = self.cfg
+        try:
+            transform = build_transform(cfg, "test", is_source=False)
+            ds = DatasetCatalog.get(
+                cfg.DATASETS.TARGET_TRAIN, "train",
+                num_classes=cfg.MODEL.NUM_CLASSES, transform=None, cfg=cfg)
+            if len(ds) == 0:
+                raise RuntimeError("empty target train split")
+        except Exception as e:  # pragma: no cover - degraded environments
+            print(f"quant calibration: target train split unavailable "
+                  f"({e}); falling back to the eval split")
+            return self.val_loader()
+        return DataLoader(
+            _CalibImages(ds, transform),
+            batch_size=cfg.TEST.BATCH_SIZE * self.num_devices,
+            shuffle=False, num_workers=NUM_WORKERS, seed=self.seed,
+            pad_final=True, shard=multihost.loader_shard())
 
     def _calibrate_quant(self):
         from ..ops import quant as quant_ops
         n = max(1, int(getattr(self.cfg.TPU, "QUANT_CALIB_BATCHES", 2)))
         imgs = [img for img, _ in
-                itertools.islice(self._eval_batches(self.val_loader()), n)]
+                itertools.islice(self._eval_batches(self._calib_loader()), n)]
         variables = quant_ops.calibrate(
             self.model, self.state.variables(), imgs)
         self.state = self.state.replace(

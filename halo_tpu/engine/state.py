@@ -120,8 +120,13 @@ def load_module_params(state: TrainState, path: str,
         else state.frozen
     batch_stats = merge(state.batch_stats, blob.get("batch_stats", {})) \
         if state.batch_stats else state.batch_stats
+    # PTQ state mirrors the module tree, so a quantized build restoring a
+    # calibrated checkpoint gets its scales back and the serving entry can
+    # skip recalibration (TestLearner checks assert_calibrated).
+    quant = merge(state.quant, blob.get("quant", {})) if state.quant \
+        else state.quant
     return state.replace(params=params, frozen=frozen,
-                         batch_stats=batch_stats)
+                         batch_stats=batch_stats, quant=quant)
 
 
 def _looks_torch(path: str) -> bool:

@@ -499,7 +499,8 @@ class QuantConv(nn.Module):
             "quant", "w_scale",
             lambda: jnp.ones((self.features,), jnp.float32))
         calibrating = self.is_mutable_collection("quant")
-        dt = self.dtype or x.dtype
+        dt = self.dtype if self.dtype is not None else \
+            jnp.promote_types(x.dtype, jnp.float32)
 
         pad = self.padding
         if not isinstance(pad, str):
@@ -561,7 +562,8 @@ class QuantDense(nn.Module):
         kernel = self.param("kernel", self.kernel_init,
                             (x.shape[-1], self.features), jnp.float32)
         if x.shape[-1] < self.min_cin:
-            dt = self.dtype or x.dtype
+            dt = self.dtype if self.dtype is not None else \
+                jnp.promote_types(x.dtype, jnp.float32)
             y = jnp.dot(x.astype(dt), kernel.astype(dt))
             if self.use_bias:
                 bias = self.param("bias", self.bias_init,
@@ -577,7 +579,11 @@ class QuantDense(nn.Module):
             "quant", "w_scale",
             lambda: jnp.ones((self.features,), jnp.float32))
         calibrating = self.is_mutable_collection("quant")
-        dt = self.dtype or x.dtype
+        # dtype=None matches flax promote_dtype semantics (common dtype of
+        # the input and the f32 params), keeping the float paths
+        # bit-identical to the nn.Dense/nn.Conv the float build uses.
+        dt = self.dtype if self.dtype is not None else \
+            jnp.promote_types(x.dtype, jnp.float32)
 
         if self.train or calibrating:
             y = jnp.dot(x.astype(dt), kernel.astype(dt))

@@ -106,7 +106,7 @@ def int8_dense(x: jax.Array, w_int8: jax.Array, w_scale: jax.Array,
 
 
 def calibrate(model, variables: Dict, batches: Iterable[Any],
-              **apply_kwargs) -> Dict:
+              reset: bool = True, **apply_kwargs) -> Dict:
     """PTQ calibration pass: returns ``variables`` with the ``quant``
     collection populated (running activation absmax per quantized conv,
     plus the frozen int8 weights).
@@ -114,12 +114,23 @@ def calibrate(model, variables: Dict, batches: Iterable[Any],
     ``batches`` are model inputs (images, NHWC); extra ``apply_kwargs``
     (e.g. ``size=``) pass through to ``model.apply``. Re-run after any
     weight load — the frozen int8 weights snapshot ``params`` as of the
-    last calibration.
+    last calibration. By default (``reset=True``) the running activation
+    absmax restarts from zero so a re-calibration fully replaces the
+    scales — an amax inherited from previous weights/data would only ever
+    inflate (it is a running max) and silently coarsen the activation
+    grid. Pass ``reset=False`` to accumulate across calls (streaming
+    calibration over batches already works within one call either way).
     """
     if "quant" not in variables:
         raise ValueError(
             "variables carry no 'quant' collection — build the model with "
             "cfg.TPU.QUANT_EVAL=True before calibrating")
+    if reset:
+        variables = dict(variables)
+        variables["quant"] = jax.tree_util.tree_map_with_path(
+            lambda p, leaf: (jnp.zeros_like(leaf)
+                             if "amax" in jax.tree_util.keystr(p) else leaf),
+            variables["quant"])
 
     @jax.jit
     def step(v, x):

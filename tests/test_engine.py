@@ -158,6 +158,57 @@ def test_test_learner_quant_eval(mini_root, tmp_path):
         layers_mod.QUANT_EVAL = False
 
 
+def test_test_learner_quant_restore_skips_recalibration(mini_root, tmp_path):
+    """PTQ serving hygiene (ADVICE r3 / VERDICT r3 #7): calibration draws
+    from the TARGET TRAIN split (not the eval split being scored), a
+    resume from a calibrated checkpoint KEEPS its scales (quant rides
+    load_module_params), and TPU.QUANT_RECALIBRATE opts back into a fresh
+    calibration."""
+    import jax.tree_util as jtu
+    from halo_tpu.engine import TestLearner
+    from halo_tpu.models import layers as layers_mod
+
+    def quant_cfg():
+        cfg = tiny_cfg(mini_root, tmp_path, "test")
+        cfg.TPU.QUANT_EVAL = True
+        cfg.TPU.QUANT_CALIB_BATCHES = 1
+        return cfg
+
+    try:
+        learner = TestLearner(quant_cfg())
+        ds = learner._calib_loader().dataset
+        assert ds.split == "train" and not getattr(ds, "active", False)
+
+        # Perturb amax and checkpoint: the restore path must KEEP the
+        # checkpoint's scales (skip recalibration), which a silent
+        # recompute-from-data would overwrite.
+        pert = jtu.tree_map_with_path(
+            lambda p, l: l * 3.0 if "amax" in jtu.keystr(p) else l,
+            learner.state.quant)
+        ckpt = str(tmp_path / "calib.ckpt")
+        save_checkpoint(learner.state.replace(quant=pert), ckpt)
+
+        cfg2 = quant_cfg()
+        cfg2.resume = ckpt
+        learner2 = TestLearner(cfg2)
+        for a, b in zip(jtu.tree_leaves(pert),
+                        jtu.tree_leaves(learner2.state.quant)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        cfg3 = quant_cfg()
+        cfg3.resume = ckpt
+        cfg3.TPU.QUANT_RECALIBRATE = True
+        learner3 = TestLearner(cfg3)
+        changed = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for (p, a), b in zip(jtu.tree_leaves_with_path(pert),
+                                 jtu.tree_leaves(learner3.state.quant))
+            if "amax" in jtu.keystr(p))
+        assert changed, "QUANT_RECALIBRATE did not refresh the scales"
+    finally:
+        layers_mod.QUANT_EVAL = False
+
+
 def test_test_learner_save_embed_and_viz(mini_root, tmp_path):
     """TEST.SAVE_EMBED dumps embed/pred/output; VIZ_WRONG writes panels
     (reference: train_learners.py:598-623)."""

@@ -121,11 +121,19 @@ def test_calibrate_and_guard(quant_off):
 
     cal1 = quant.calibrate(model, variables, [x])
     quant.assert_calibrated(cal1)
-    # Running max: a second, 2x-scaled batch only raises amax values.
-    cal2 = quant.calibrate(model, cal1, [2.0 * x])
+    # Default reset=True: recalibration REPLACES the scales — after an
+    # inflating pass on 2x data, recalibrating on x reproduces cal1
+    # exactly (an inherited amax would coarsen the grid silently).
+    cal_big = quant.calibrate(model, cal1, [2.0 * x])
+    cal2 = quant.calibrate(model, cal_big, [x])
+    for a1, a2 in zip(jax.tree_util.tree_leaves(cal1["quant"]),
+                      jax.tree_util.tree_leaves(cal2["quant"])):
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    # reset=False: running max accumulates across calls.
+    cal3 = quant.calibrate(model, cal_big, [x], reset=False)
     for (p1, a1), (_p2, a2) in zip(
-            jax.tree_util.tree_leaves_with_path(cal1["quant"]),
-            jax.tree_util.tree_leaves_with_path(cal2["quant"])):
+            jax.tree_util.tree_leaves_with_path(cal_big["quant"]),
+            jax.tree_util.tree_leaves_with_path(cal3["quant"])):
         if "amax" in jax.tree_util.keystr(p1):
             assert float(a2) >= float(a1) > 0.0
 
@@ -149,7 +157,8 @@ def test_quantized_logits_close_to_float(quant_off):
     rel = (np.linalg.norm(np.asarray(out_q - out_f)) /
            np.linalg.norm(np.asarray(out_f)))
     assert np.isfinite(np.asarray(out_q)).all()
-    assert rel < 0.15, rel
+    # rel == 0.0 would mean the int8 path never ran (float vs float).
+    assert 0.0 < rel < 0.15, rel
     agree = np.mean(np.argmax(np.asarray(out_q), -1) ==
                     np.argmax(np.asarray(out_f), -1))
     assert agree > 0.6, agree
@@ -209,12 +218,15 @@ def test_segformer_quant_build(quant_off):
     state, narrow (Cin<128) ones stay float, and the calibrated int8
     eval stays within the PTQ envelope of the float logits."""
     x = jax.random.normal(jax.random.PRNGKey(7), (1, 64, 64, 3), jnp.float32)
+    # ORDER MATTERS: build_segmentor sets the process-global
+    # layers_mod.QUANT_EVAL, which make_dense/make_conv read at TRACE
+    # time — so every model_q trace (init, calibrate, the quantized
+    # apply) must happen before the float build flips the knob off, or
+    # they all silently trace as plain float (the round-3 version of
+    # this test did exactly that and asserted rel == 0.0 of float vs
+    # float — ADVICE.md r3).
     model_q = build_segmentor(_sf_cfg(True))
     vq = _init(model_q, x)
-    model_f = build_segmentor(_sf_cfg(False))
-    vf = _init(model_f, x)
-    assert jax.tree_util.tree_structure(vq["params"]) == \
-        jax.tree_util.tree_structure(vf["params"])
     names = [jax.tree_util.keystr(p) for p, _ in
              jax.tree_util.tree_leaves_with_path(vq["quant"])]
     # mittiny dims (16,32,64,128; FFN hidden 4x): stage-4 attention and
@@ -225,13 +237,21 @@ def test_segformer_quant_build(quant_off):
     assert not any("mlr" in n or "conv_reduce" in n for n in names)
 
     vq = quant.calibrate(model_q, vq, [x])
+    for p, leaf in jax.tree_util.tree_leaves_with_path(vq["quant"]):
+        if "amax" in jax.tree_util.keystr(p):
+            assert float(leaf) > 0.0, p
     out_q, _ = model_q.apply(vq, x, train=False)
+
+    model_f = build_segmentor(_sf_cfg(False))
+    vf = _init(model_f, x)
+    assert jax.tree_util.tree_structure(vq["params"]) == \
+        jax.tree_util.tree_structure(vf["params"])
     out_f, _ = model_f.apply({k: v for k, v in vq.items() if k != "quant"},
                              x, train=False)
     rel = (np.linalg.norm(np.asarray(out_q - out_f)) /
            np.linalg.norm(np.asarray(out_f)))
     assert np.isfinite(np.asarray(out_q)).all()
-    assert rel < 0.15, rel
+    assert 0.0 < rel < 0.15, rel
 
 
 def test_quant_state_checkpoint_roundtrip(quant_off, tmp_path):

@@ -51,7 +51,7 @@ def main():
 
     learner = build_learner(cfg)
     learner.wandb_run = wandb_run
-    learner.fit(val_interval=500)
+    learner.fit(val_interval=int(getattr(cfg.TPU, "VAL_INTERVAL", 500)))
 
     if wandb_run is not None:
         wandb_run.finish()
