@@ -16,8 +16,26 @@ regardless).
 Timing methodology: bench_int8.py's (pool-cycling fori_loop, adaptive
 delta-of-N spanning >=80 ms, jnp.max consumption).
 
-Measured results: see the table printed by this script (recorded in
-this docstring + benchmarks/README.md once run).
+Measured results (v5e, 2026-08-19, round 4):
+
+    resnet l2 3x3 s2 128->128 @160x320  bf16 112us (33.6T)  int8  77us (49.0T)  1.46x
+    resnet l2 1x1 s2 256->512 @160x320  bf16  59us (56.8T)  int8  40us (83.7T)  1.47x
+    mit pe2 3x3 s2  64->128 @160x320    bf16  91us (20.7T)  int8  97us (19.4T)  0.93x
+    mit pe3 3x3 s2 128->320 @80x160     bf16  33us (71.9T)  int8  22us (109.5T) 1.52x
+    mit pe4 3x3 s2 320->512 @40x80      bf16  27us (87.6T)  int8  30us (77.6T)  0.89x
+    mit sr1 8x8 s8  64->64  @160x320    bf16  90us ( 4.6T)  int8  93us ( 4.5T)  0.98x
+    mit sr2 4x4 s4 128->128 @80x160     bf16  14us (30.5T)  int8  13us (32.1T)  1.05x
+    mit sr3 2x2 s2 320->320 @40x80      bf16  17us (39.3T)  int8  16us (40.5T)  1.03x
+    stem 7x7 s2 3->64 @640x1280 ctrl    bf16 1366us ( 2.8T) int8 1332us ( 2.9T) 1.02x
+
+Conclusion (acted on in models/layers.py): strided s8 convs DO hit the
+double-rate pipeline when the input is wide (Cin >= 128) AND the output
+grid is large enough to fill it (>= ~3200 positions; the 800-position
+shapes lose to the quantize-epilogue overhead). quant_eligible therefore
+extends to strided ungrouped convs with Cin >= 128 (static gate), with
+a per-trace float fallback below _MIN_STRIDED_POSITIONS=2048 output
+positions. Negative results recorded: MiT pe2/pe4 and all SR-KV
+reduction convs stay float; the Cin=3 stem is layout-bound as predicted.
 """
 import os
 import sys

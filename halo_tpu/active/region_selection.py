@@ -91,9 +91,18 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
     num_classes = cfg.MODEL.NUM_CLASSES
     curvature = float(cfg.MODEL.CURVATURE)
 
-    needs_embed = (pur_type in ("hyper", "radius", "euc_norm")
-                   or unc_type in ("certainty", "hyperbolic")
-                   or (unc_type == "none" and cfg.MODEL.HYPER))
+    # 'random' is an EXTENSION (the reference has no random baseline in
+    # code): score = per-image seeded uniform noise, purity ignored — the
+    # equal-budget control arm for acquisition-quality comparisons
+    # (benchmarks/acquisition_quality.py, the paper's HALO-vs-RAND
+    # ablation). Deterministic in (cfg.SEED, round, global image index),
+    # so every host computes identical masks.
+    random_score = unc_type == "random"
+
+    needs_embed = (not random_score
+                   and (pur_type in ("hyper", "radius", "euc_norm")
+                        or unc_type in ("certainty", "hyperbolic")
+                        or (unc_type == "none" and cfg.MODEL.HYPER)))
 
     # Native-res map dtype for the bandwidth-bound score chain; the
     # scoring ops upcast to f32 in-register, so bf16 maps halve the HBM
@@ -128,17 +137,21 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
             return _PROGRAM_CACHE[key]
         local = global_batch // n_data
 
-        def body(variables, img, gt, mask, active, selected):
+        def body(variables, img, gt, mask, active, selected, seeds):
             # transfer-dtype discipline: labels/masks arrive uint8 and
             # images arrive in the compute dtype (see _put_batch) — a
             # 2975-image sweep moves ~3x less over PCIe/DCN (and this dev
             # environment's relay). Upcast on device; exact.
             gt = gt.astype(jnp.int32)
             mask = mask.astype(jnp.int32)
-            out, aux = forward(variables, img, False)
+            if random_score:
+                out = aux = None  # no forward: the control arm needs no
+                # model signal, only the same selector at the same budget
+            else:
+                out, aux = forward(variables, img, False)
             gt_needed = (unc_type == "oracle_acc"
                          or pur_type == "oracle_ripu")
-            if not use_fused:
+            if not use_fused and not random_score:
                 out = resize_bilinear(out.astype(jnp.float32), size)
                 out = out.astype(score_dtype)
                 if needs_embed and aux is not None:
@@ -146,7 +159,10 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
                     aux = aux.astype(score_dtype)
             fields = []
             for b in range(local):  # unrolled at trace time
-                if use_fused:
+                if random_score:
+                    score = jax.random.uniform(
+                        jax.random.PRNGKey(seeds[b]), size, jnp.float32)
+                elif use_fused:
                     # native logits/embedding never materialize: the
                     # upsample is folded into the per-pixel score stage
                     # (fused_upsample_region_score; ULP-equal maps,
@@ -188,7 +204,7 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
             fn = jax.shard_map(
                 body, mesh=mesh,
                 in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
-                          P("data")),
+                          P("data"), P("data")),
                 out_specs=(P("data"),) * (5 if want_score else 4),
                 check_vma=False)
         else:
@@ -284,12 +300,22 @@ def region_selection(cfg, model, state, active_loader, round_number: int,
         active_regions = math.ceil(
             num_pixels * budget_round / per_region_pixels)
 
+        # Per-image PRNG seeds for the 'random' control arm: a fixed
+        # integer mix of (cfg.SEED, round, GLOBAL image index), so masks
+        # are deterministic and identical across hosts/mesh layouts.
+        # Unused (traced away) by every model-scored mode.
+        seeds = np.array(
+            [(max(cfg.SEED, 0) * 2654435761
+              + round_number * 40503
+              + (batch_no * global_batch + shard_offset + b) * 2246822519)
+             & 0x7FFFFFFF for b in range(imgs.shape[0])], np.uint32)
+
         prog = get_program(size, global_batch, active_regions)
         outs = prog(
             variables, put(imgs, img_dtype),
             put(batch["origin_label"], np.uint8),
             put(batch["origin_mask"], np.uint8), put(batch["active"]),
-            put(batch["selected"]))
+            put(batch["selected"]), put(seeds))
         score_s = outs[0] if want_score else None
         mask_s, active_s, selected_s, picked_s = outs[-4:]
 

@@ -434,14 +434,37 @@ class GemmWgradConv(nn.Module):
         return y
 
 
-def quant_eligible(strides, groups: int) -> bool:
-    """Static eligibility for the int8 W8A8 eval lowering: the knob is
-    on and the conv is stride-1 and ungrouped (the families the MXU
-    double-rate s8 path was measured on — benchmarks/bench_int8.py).
-    The stem (stride 2), depthwise convs (VPU stencil), and every
-    logits/embedding-producing conv stay float (the call sites simply
-    never dispatch here for those)."""
-    return QUANT_EVAL and tuple(strides) == (1, 1) and groups == 1
+# Minimum per-image output positions (Ho*Wo) for a STRIDED conv to take
+# the int8 path at eval (decided per trace inside QuantConv; the variable
+# structure stays a function of architecture constants only). Measured on
+# v5e (benchmarks/bench_int8_strided.py): 3200 positions pay 1.46-1.52x
+# (resnet layer2 transitions, MiT pe3), 800 positions lose 0.89-1.05x
+# (MiT pe4 and the k=s SR-KV convs — overhead dominates the small GEMM).
+_MIN_STRIDED_POSITIONS = 2048
+
+
+def quant_eligible(strides, groups: int, in_features=None) -> bool:
+    """Static eligibility for the int8 W8A8 eval lowering (decides the
+    QuantConv dispatch, hence the variable structure — so it may depend
+    only on architecture constants, never on input spatial dims):
+
+      * stride-1 ungrouped convs — the families the MXU double-rate s8
+        path was originally measured on (benchmarks/bench_int8.py);
+      * STRIDED ungrouped convs with a wide input (Cin >= 128), measured
+        at 1.46-1.52x in benchmarks/bench_int8_strided.py (resnet layer2
+        3x3 s2 / 1x1 s2 downsample, MiT pe3) — callers pass
+        ``in_features``; narrow inputs underfill the MXU lanes (Cin=64
+        pe2 measured 0.93x, the Cin=3 stem 1.02x) and stay float. The
+        small-output-grid losers (pe4, SR-KV) are excluded per trace by
+        _MIN_STRIDED_POSITIONS inside QuantConv.
+
+    Depthwise convs (VPU stencil) and every logits/embedding-producing
+    conv stay float (their call sites never dispatch here)."""
+    if not QUANT_EVAL or groups != 1:
+        return False
+    if tuple(strides) == (1, 1):
+        return True
+    return in_features is not None and in_features >= 128
 
 
 class QuantConv(nn.Module):
@@ -505,7 +528,16 @@ class QuantConv(nn.Module):
         pad = self.padding
         if not isinstance(pad, str):
             pad = tuple(map(tuple, pad))
-        if self.train or calibrating:
+        # Strided convs only pay for int8 with enough output positions to
+        # fill the MXU pipeline (bench_int8_strided.py); below the
+        # threshold this trace computes the exact float conv instead.
+        # Per-trace (shapes are static under jit), NOT per-build: the
+        # variable structure above stays resolution-independent.
+        sh, sw = self.strides
+        out_positions = (-(-x.shape[1] // sh)) * (-(-x.shape[2] // sw))
+        small_strided = ((sh, sw) != (1, 1)
+                         and out_positions < _MIN_STRIDED_POSITIONS)
+        if self.train or calibrating or small_strided:
             y = jax.lax.conv_general_dilated(
                 x.astype(dt), kernel.astype(dt), self.strides, pad,
                 rhs_dilation=self.kernel_dilation,
@@ -621,11 +653,14 @@ def make_conv(features, kernel_size, strides=(1, 1), padding="SAME",
               dilation=(1, 1), groups: int = 1, use_bias: bool = False,
               train: bool = True, dtype=None,
               kernel_init=kaiming_normal_fan_in,
-              bias_init=nn.initializers.zeros, name=None):
+              bias_init=nn.initializers.zeros, name=None,
+              in_features=None):
     """``nn.Conv``, or ``QuantConv`` when the int8 eval path is on and
     the conv is eligible (quant_eligible). Shared by every call site so
-    the eligibility rule cannot drift."""
-    if quant_eligible(strides, groups):
+    the eligibility rule cannot drift. ``in_features`` (the architecture
+    constant, e.g. ``x.shape[-1]`` at the call site) unlocks the strided
+    families; without it strided convs stay float."""
+    if quant_eligible(strides, groups, in_features):
         return QuantConv(
             features, kernel_size, strides=strides, padding=padding,
             kernel_dilation=dilation, use_bias=use_bias, train=train,

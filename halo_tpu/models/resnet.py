@@ -63,11 +63,16 @@ class Bottleneck(nn.Module):
         y = nn.relu(y)
 
         d = self.dilation
-        if quant_eligible((self.strides, self.strides), self.groups):
-            # int8 W8A8 eval path (TPU.QUANT_EVAL) — covers every trunk
-            # 3x3 except layer2's stride-2 first block; the dilated conv
-            # emitter runs s8 at the MXU double rate (bench_int8.py).
-            y = QuantConv(width, (3, 3), padding=((d, d), (d, d)),
+        if quant_eligible((self.strides, self.strides), self.groups,
+                          in_features=width):
+            # int8 W8A8 eval path (TPU.QUANT_EVAL) — the whole trunk
+            # 3x3 family: stride-1 dilated convs run s8 at the MXU
+            # double rate (bench_int8.py) and layer2's stride-2 first
+            # block measured 1.46x (bench_int8_strided.py; the small-
+            # grid fallback inside QuantConv keeps tiny inputs float).
+            y = QuantConv(width, (3, 3),
+                          strides=(self.strides, self.strides),
+                          padding=((d, d), (d, d)),
                           kernel_dilation=(d, d), train=self.train,
                           dtype=self.dtype,
                           kernel_init=kaiming_normal_fan_out,
@@ -123,12 +128,15 @@ class Bottleneck(nn.Module):
                       train=self.train, name="bn3")(y)
 
         if self.has_downsample:
-            # Stride-1 downsamples (layer1 and the dilated stages'
-            # first blocks) quantize; layer2's stride-2 one stays float.
+            # All downsample projections quantize: stride-1 ones (layer1
+            # and the dilated stages' first blocks) per bench_int8.py,
+            # layer2's stride-2 256->512 at 1.47x per
+            # bench_int8_strided.py (Cin >= 128 static gate).
             identity = make_conv(
                 out_ch, (1, 1), strides=(self.strides, self.strides),
                 use_bias=False, train=self.train, dtype=self.dtype,
-                kernel_init=kaiming_normal_fan_out, name="downsample_conv")(x)
+                kernel_init=kaiming_normal_fan_out, name="downsample_conv",
+                in_features=x.shape[-1])(x)
             identity = make_norm(
                 self.freeze_bn, out_ch, dtype=self.dtype, train=self.train,
                 name="downsample_bn")(identity)

@@ -40,14 +40,21 @@ class OverlapPatchEmbed(nn.Module):
     patch: int
     stride: int
     dtype: Any = None
+    train: bool = True
 
     @nn.compact
     def __call__(self, x):
         p = self.patch // 2
-        x = nn.Conv(self.features, (self.patch, self.patch),
-                    strides=(self.stride, self.stride),
-                    padding=((p, p), (p, p)), dtype=self.dtype,
-                    name="proj")(x)
+        # make_conv so the int8 eval path can take the wide strided
+        # embeds: pe3 (Cin=128) measured 1.52x on the s8 MXU pipeline;
+        # pe1/pe2 (Cin 3/64) fail the static Cin>=128 gate and pe4's
+        # small output grid falls back per trace (bench_int8_strided.py).
+        x = make_conv(self.features, (self.patch, self.patch),
+                      strides=(self.stride, self.stride),
+                      padding=((p, p), (p, p)), use_bias=True,
+                      train=self.train, dtype=self.dtype,
+                      kernel_init=nn.initializers.lecun_normal(),
+                      name="proj", in_features=x.shape[-1])(x)
         # official MiT: plain nn.LayerNorm here (eps 1e-5), unlike the
         # block norms which are built with eps=1e-6
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
@@ -182,7 +189,7 @@ class MixVisionTransformer(nn.Module):
             x = OverlapPatchEmbed(
                 self.embed_dims[s], patch=7 if s == 0 else 3,
                 stride=4 if s == 0 else 2, dtype=self.dtype,
-                name=f"patch_embed{s + 1}")(x)
+                train=train, name=f"patch_embed{s + 1}")(x)
             for b in range(self.depths[s]):
                 x = block_cls(self.embed_dims[s], self.heads[s],
                               self.sr_ratios[s], self.mlp_ratio,

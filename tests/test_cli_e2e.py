@@ -25,9 +25,12 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _clean_env():
-    """CPU-jax env for CLI subprocesses (axon sitecustomize disarmed)."""
+    """CPU-jax env for CLI subprocesses (axon sitecustomize disarmed).
+    XLA_FLAGS must go too: conftest's virtual 8-device flag would leak
+    in and scale NUM_ITER/SELECT_ITER by 8 like a real 8-chip mesh."""
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = _REPO
     return env
@@ -109,18 +112,37 @@ def test_train_and_test_cli_end_to_end(mini_root, tmp_path):
 
     # Mask/indicator budget accounting over the 2 rounds: selection
     # labeled something, never more than rounds * ceil(H*W*b/9)*9 px,
-    # and the active set contains every selected pixel.
+    # and the active set (selected + suppression halos) contains every
+    # selected pixel.
     sel, act = _selected_budget(save_dir)
     per_round = int(np.ceil(32 * 64 * 0.05 / 9)) * 9
     n_imgs = 3
     assert 0 < sel <= 2 * per_round * n_imgs
     assert act >= sel
-    from halo_tpu.data.masks import load_mask_png
-    labeled = 0
-    for root, _dirs, files in os.walk(os.path.join(save_dir, "gtMask/train")):
+    # Per-image mask<->indicator<->GT consistency: the labeled mask
+    # pixels are EXACTLY the selected pixels whose GT is not ignore, and
+    # they carry the GT train-ids (reference: the mask PNG is the GT
+    # oracle's answer, core/active/build.py:27-64,162-166).
+    from PIL import Image
+    from halo_tpu.data.datasets import remap_labels
+    from halo_tpu.data.masks import load_indicator, load_mask_png
+    mask_root = os.path.join(save_dir, "gtMask/train")
+    checked = 0
+    for root, _dirs, files in os.walk(mask_root):
         for f in files:
-            labeled += int((load_mask_png(os.path.join(root, f)) != 255).sum())
-    assert labeled == act, (labeled, act)
+            rel = os.path.relpath(os.path.join(root, f), mask_root)
+            m = load_mask_png(os.path.join(root, f))
+            gt = np.asarray(Image.open(os.path.join(
+                mini_root, "cityscapes/gtFine/train", rel)))
+            gt = remap_labels(gt, 19, 255)
+            ind = load_indicator(os.path.join(
+                save_dir, "gtIndicator/train",
+                rel.replace("_gtFine_labelIds.png", "_indicator.pth")))
+            np.testing.assert_array_equal(
+                m != 255, ind["selected"] & (gt != 255))
+            np.testing.assert_array_equal(m[m != 255], gt[m != 255])
+            checked += 1
+    assert checked == n_imgs
 
     # test.py against the run's final checkpoint: per-class IoU table.
     stdout = _run_cli("test.py", "-cfg", cfg_path, "SEED", "2",

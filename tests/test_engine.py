@@ -600,6 +600,45 @@ def test_mixed_resolution_active_sweep(mini_root, tmp_path):
         np.testing.assert_array_equal(masks[1][k], masks[2][k])
 
 
+def test_random_acquisition_arm(mini_root, tmp_path):
+    """ACTIVE.UNCERTAINTY='random' (extension — the reference has no
+    random baseline in code): per-image seeded uniform score through the
+    SAME greedy selector at the SAME budget; the equal-budget control arm
+    for acquisition-quality A/Bs (benchmarks/acquisition_quality.py).
+    Deterministic in (SEED, round, global image index); distinct from the
+    model-scored masks."""
+    from halo_tpu.active.region_selection import region_selection
+    from halo_tpu.data import mask_cache
+    from halo_tpu.data.masks import load_mask_png
+
+    def run(mode, out):
+        mask_cache.clear()
+        cfg = tiny_cfg(mini_root, tmp_path, "source_target")
+        cfg.OUTPUT_DIR = str(tmp_path / out)
+        cfg.SAVE_DIR = str(tmp_path / out / "t")
+        if mode == "random":
+            cfg.ACTIVE.UNCERTAINTY = "random"
+        learner = build_learner(cfg)
+        stats = region_selection(cfg, learner.model, learner.state,
+                                 learner.active_loader, 1,
+                                 mesh=learner.mesh)
+        masks = {}
+        mask_dir = os.path.join(cfg.SAVE_DIR, "gtMask/train")
+        for root, _dirs, files in os.walk(mask_dir):
+            for f in files:
+                masks[f] = load_mask_png(os.path.join(root, f))
+        return stats, masks
+
+    s1, m1 = run("random", "rand1")
+    s2, m2 = run("random", "rand2")
+    s3, m3 = run("halo", "halo")
+    assert s1["picked"] == s3["picked"] > 0        # equal budget
+    assert m1.keys() == m2.keys() == m3.keys()
+    for k in m1:                                   # deterministic
+        np.testing.assert_array_equal(m1[k], m2[k])
+    assert any(not np.array_equal(m1[k], m3[k]) for k in m1)
+
+
 def test_mixed_resolution_fit(mini_root, tmp_path):
     """End-to-end fit on a mixed-resolution target set: the train loader
     rides native-res origin_* fields as ragged host lists (collate

@@ -87,6 +87,66 @@ def test_int8_conv_clips_beyond_amax(quant_off):
     np.testing.assert_allclose(np.asarray(y)[0, 0, :, 0], [1.0, 127.0])
 
 
+def test_int8_strided_conv_exact_on_grid(quant_off):
+    """Strided QuantConv (the 1.46-1.52x families from
+    benchmarks/bench_int8_strided.py — resnet layer2 transitions, MiT
+    pe3): above the output-grid threshold the int8 path is bit-exact on
+    quantization-grid inputs, same construction as the stride-1 test."""
+    rng = np.random.default_rng(2)
+    cin, cout = 128, 8
+    xi = rng.integers(-127, 128, (1, 96, 96, cin))
+    xi.flat[0] = 127
+    x = jnp.asarray(0.5 * xi, jnp.float32)
+    ki = rng.integers(-127, 128, (3, 3, cin, cout))
+    ki[0, 0, 0, :] = 127
+    kernel = jnp.asarray(0.25 * ki, jnp.float32)
+
+    # 48*48 = 2304 output positions >= _MIN_STRIDED_POSITIONS
+    mod = QuantConv(cout, (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), train=False)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    variables = {**variables, "params": {"kernel": kernel}}
+    _, mut = mod.apply(variables, x, mutable=["quant"])
+    assert float(mut["quant"]["amax"]) == 63.5
+    got = mod.apply({**variables, "quant": mut["quant"]}, x)
+    want = jax.lax.conv_general_dilated(
+        x, kernel, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert got.shape == (1, 48, 48, cout)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_strided_small_grid_falls_back_to_float(quant_off):
+    """Below _MIN_STRIDED_POSITIONS output positions the eval trace IS
+    the float conv, bit-identically (the small-GEMM losers: MiT pe4 and
+    the SR-KV convs measured 0.89-1.05x — bench_int8_strided.py)."""
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, 32, 32, 128),
+                          jnp.float32)
+    mod = QuantConv(16, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    train=False)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    _, mut = mod.apply(variables, x, mutable=["quant"])  # calibrated
+    got = mod.apply({**variables, "quant": mut["quant"]}, x)  # 16x16 grid
+    want = jax.lax.conv_general_dilated(
+        x, variables["params"]["kernel"].astype(jnp.float32), (2, 2),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_quant_eligible_strided_gate(quant_off):
+    """Static eligibility: stride-1 ungrouped always; strided only with
+    the Cin>=128 hint (pe2's Cin=64 measured 0.93x, the stem 1.02x)."""
+    from halo_tpu.models.layers import quant_eligible
+    layers_mod.QUANT_EVAL = True
+    assert quant_eligible((1, 1), 1)
+    assert not quant_eligible((2, 2), 1)                    # no hint
+    assert not quant_eligible((2, 2), 1, in_features=64)
+    assert quant_eligible((2, 2), 1, in_features=128)
+    assert not quant_eligible((2, 2), 2, in_features=256)   # grouped
+    layers_mod.QUANT_EVAL = False
+    assert not quant_eligible((1, 1), 1)
+
+
 def test_quant_build_param_layout_unchanged(quant_off):
     """params/frozen trees of the quantized build match the float build
     exactly (checkpoints and torch imports are unaffected); the quant
