@@ -24,7 +24,8 @@ from .datasets import CityscapesDataSet, _repeat_to
 class ACDCDataSet(CityscapesDataSet):
     def __init__(self, data_root, data_list, save_dir, max_iters=None,
                  num_classes=19, split="train", transform=None,
-                 ignore_label=255, debug=False, empty=False):
+                 ignore_label=255, debug=False, empty=False,
+                 load_mask=True):
         self.active = split == "active"
         if split == "active":
             split = "train"
@@ -35,6 +36,7 @@ class ACDCDataSet(CityscapesDataSet):
         self.transform = transform
         self.ignore_label = ignore_label
         self.debug = debug
+        self.load_mask = load_mask
 
         self.data_list: List[Dict] = []
         if empty:

@@ -51,7 +51,8 @@ def build_dataset(cfg, mode="train", is_source=True, epochwise=False,
                 else cfg.DATASETS.TARGET_TRAIN)
         return DatasetCatalog.get(
             name, mode, num_classes=cfg.MODEL.NUM_CLASSES, max_iters=iters,
-            transform=transform, cfg=cfg, empty=empty, seed=seed)
+            transform=transform, cfg=cfg, empty=empty, seed=seed,
+            is_source=is_source)
     if mode == "val":
         return DatasetCatalog.get(
             cfg.DATASETS.TEST, "val", num_classes=cfg.MODEL.NUM_CLASSES,

@@ -41,7 +41,7 @@ class DatasetCatalog:
 
     @staticmethod
     def get(name, mode, num_classes, max_iters=None, transform=None,
-            cfg=None, empty=False, seed=0):
+            cfg=None, empty=False, seed=0, is_source=False):
         data_dir = DatasetCatalog.dataset_dir(cfg)
         attrs = DatasetCatalog.DATASETS[name] if name in \
             DatasetCatalog.DATASETS else None
@@ -57,17 +57,20 @@ class DatasetCatalog:
             return SynthiaDataSet(root, data_list, max_iters=max_iters,
                                   num_classes=num_classes, split=mode,
                                   transform=transform, seed=seed)
+        # is_source: the active-mask store is TARGET machinery; a
+        # Cityscapes/ACDC set used as the SOURCE (the ACDC recipe trains
+        # cityscapes->acdc) reads full GT and must not touch gtMask.
         if "cityscapes" in name:
             return CityscapesDataSet(
                 root, data_list, save_dir=cfg.SAVE_DIR, max_iters=max_iters,
                 num_classes=num_classes, split=mode, transform=transform,
-                empty=empty)
+                empty=empty, load_mask=not is_source)
         if "acdc" in name:
             from .acdc import ACDCDataSet
             return ACDCDataSet(
                 root, data_list, save_dir=cfg.SAVE_DIR, max_iters=max_iters,
                 num_classes=num_classes, split=mode, transform=transform,
-                empty=empty)
+                empty=empty, load_mask=not is_source)
         raise RuntimeError(f"Dataset not available: {name}")
 
     @staticmethod

@@ -200,7 +200,8 @@ class CityscapesDataSet:
 
     def __init__(self, data_root, data_list, save_dir, max_iters=None,
                  num_classes=19, split="train", transform=None,
-                 ignore_label=255, debug=False, empty=False):
+                 ignore_label=255, debug=False, empty=False,
+                 load_mask=True):
         self.active = split == "active"
         if split == "active":
             split = "train"
@@ -211,6 +212,9 @@ class CityscapesDataSet:
         self.transform = transform
         self.ignore_label = ignore_label
         self.debug = debug
+        # load_mask=False: source usage (full GT supervision) — the
+        # active-mask store doesn't exist and must not be read
+        self.load_mask = load_mask
 
         self.data_list: List[Dict] = []
         if empty:
@@ -262,7 +266,7 @@ class CityscapesDataSet:
 
         image = Image.open(files["img"]).convert("RGB")
         label = np.asarray(Image.open(files["label"]), dtype=np.uint8)
-        if self.split == "train":
+        if self.split == "train" and self.load_mask:
             # Single-host fast path: the acquisition round publishes fresh
             # masks in-process (mask_cache); fall back to the lazy PNG
             # re-read — the reference's mask broadcast channel

@@ -55,6 +55,72 @@ def test_b4_arch_depths():
     assert tuple(a["embed_dims"]) == (64, 128, 320, 512)
 
 
+def test_acdc_source_target_end_to_end(mini_root, tmp_path):
+    """Cityscapes->ACDC with the SegFormer family, the full
+    configs/acdc/source_target.yaml recipe shape at mini scale: fit with
+    one active round on the synthetic ACDC tree (real rgb_anon/gt layout)
+    — finite losses, the round labels within budget, the mask store lands
+    under the ACDC stems, and validation on acdc_val runs. Gives ACDC the
+    same grade of evidence as the Cityscapes engine tests (VERDICT r3
+    next-#6; reference `acdc` branch capability, README.md:104-116)."""
+    import os
+
+    import numpy as np
+
+    from tests.conftest import add_acdc_dataset, make_mini_cfg
+    from halo_tpu.data.masks import load_indicator, load_mask_png
+    from halo_tpu.engine import build_learner
+
+    add_acdc_dataset(mini_root)
+    cfg = make_mini_cfg(mini_root, tmp_path)
+    cfg.MODEL.NAME = "segformer_mittiny"
+    cfg.MODEL.HYPER = True
+    cfg.MODEL.HFR = False
+    cfg.MODEL.REDUCED_CHANNELS = 16
+    cfg.PROTOCOL = "source_target"
+    cfg.DATASETS.SOURCE_TRAIN = "cityscapes_train"
+    cfg.DATASETS.TARGET_TRAIN = "acdc_train"
+    cfg.DATASETS.TEST = "acdc_val"
+    cfg.SOLVER.NUM_ITER = 3
+    cfg.SOLVER.BATCH_SIZE = 2
+    cfg.SOLVER.WARMUP_ITERS = 0
+    cfg.ACTIVE.SELECT_ITER = [1]
+    cfg.ACTIVE.BUDGET = 0.05
+    cfg.ACTIVE.MASK_RADIUS_K = 2
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.DATA_PARALLEL = 1
+
+    learner = build_learner(cfg)
+    hist = learner.fit(max_steps=3, val_interval=0)
+    assert learner.active_round == 2
+    assert all(np.isfinite(h["loss"]) for h in hist)
+
+    # mask store under the ACDC stems, within the per-round budget
+    mask_dir = os.path.join(cfg.SAVE_DIR, "gtMask/train")
+    labeled = {}
+    for root, _dirs, files in os.walk(mask_dir):
+        for f in files:
+            assert f.endswith("_gt_labelIds.png")  # ACDC naming
+            p = os.path.join(root, f)
+            # keyed by relpath: fog/night share frame basenames
+            labeled[os.path.relpath(p, mask_dir)] = int(
+                (load_mask_png(p) != 255).sum())
+    assert len(labeled) == 4 and sum(labeled.values()) > 0
+    per_round = int(np.ceil(32 * 64 * 0.05 / 9)) * 9
+    ind_dir = os.path.join(cfg.SAVE_DIR, "gtIndicator/train")
+    n_ind = 0
+    for root, _dirs, files in os.walk(ind_dir):
+        for f in files:
+            ind = load_indicator(os.path.join(root, f))
+            assert ind["active"].shape == (32, 64)
+            assert 0 < ind["selected"].sum() <= per_round
+            n_ind += 1
+    assert n_ind == 4
+
+    miou = learner.validate()
+    assert np.isfinite(miou) and 0 <= miou <= 100
+
+
 def test_acdc_path_layout(tmp_path):
     from halo_tpu.data.acdc import ACDCDataSet
     lst = tmp_path / "acdc_train_list.txt"
