@@ -1,0 +1,265 @@
+"""Acquisition-quality A/B: does the rebuilt SYSTEM do active learning?
+
+The paper's central claim is that HALO's acquisition (windowed entropy x
+hyperbolic radius, reference: core/active/floating_region.py:187-193,
+configs/gtav/source_target.yaml) selects better target pixels than
+cheaper baselines at EQUAL budget (reference README's budget table,
+analysis/budget_plot.py:5-7). Every other test in this repo pins op- or
+step-level parity; this harness runs the source_target protocol TO
+COMPLETION three ways on a synthetic domain-shift set and compares final
+target mIoU:
+
+  halo    — the shipped recipe (UNCERTAINTY=entropy, PURITY=radius,
+            NORMALIZE=True)
+  random  — seeded uniform score through the SAME greedy selector at the
+            SAME budget (ACTIVE.UNCERTAINTY='random', the control arm)
+  none    — no annotation budget at all (SELECT_ITER=[]; the protocol,
+            losses and steps are otherwise identical)
+
+Dataset (tests/conftest.py:build_shift_dataset): a learnable color->class
+mapping where two RARE classes (car, bus; ~4-8%% of pixels) take NOVEL
+colors in the target domain. A source-trained model is confidently right
+on the common classes and uncertain exactly on the shifted regions, so
+selection QUALITY decides how much of the shift gets supervised: random
+spends ~90%% of its budget on pixels the model already gets right.
+
+Protocol = the reference's actual workflow (SURVEY.md §3E): each seed
+first SOURCE-PRETRAINS once (PROTOCOL='source'), then every arm adapts
+from that shared checkpoint via cfg.resume (reference:
+core/utils/misc.py:165-178; configs/gtav/source_target.yaml resumes
+from results/pretrain_gtav). Measured 2026-08-19: WITHOUT pretraining
+(cold-start source_target, rounds at steps 10/20 of 60) the acquisition
+scores are noise — the model is untrained at selection time, halo's
+budget-on-shifted landed AT the 8.4%% pixel base rate, one halo seed
+diverged, and the 3-seed ordering failed (halo 12.4 vs random 16.7
+mean) — recorded in benchmarks/README.md as the negative result that
+motivated the pretrain stage.
+
+Expected ordering (asserted over seeds by
+tests/test_acquisition_quality.py): halo >= random > none on present-
+class mIoU. A second, mechanistic metric — the share of the labeled
+budget landing on the shifted classes vs their pixel base rate — shows
+WHY: entropy x radius concentrates the budget on the novel-color
+regions while random lands at the base rate. Results recorded in
+BASELINE.md.
+
+Usage: python benchmarks/acquisition_quality.py [--seeds 3] [--steps 48]
+[--pretrain-steps 60]. Prints one JSON line with per-seed mIoUs, the
+per-arm means, and the budget-on-shifted-classes fractions.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def _base_cfg(root, outdir, seed, steps):
+    from halo_tpu.config import get_default_cfg
+
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "deeplabv3plus_resnettiny"
+    cfg.MODEL.WEIGHTS = ""
+    cfg.MODEL.HYPER = True
+    cfg.MODEL.HFR = True
+    cfg.MODEL.REDUCED_CHANNELS = 16
+    cfg.MODEL.FREEZE_BN = True
+    cfg.PROTOCOL = "source_target"
+    cfg.DATASETS.SOURCE_TRAIN = "gtav_train"
+    cfg.DATASETS.TARGET_TRAIN = "cityscapes_train"
+    cfg.DATASETS.TEST = "cityscapes_val"
+    # native 128x96 (w, h): no train/eval resize anywhere
+    cfg.INPUT.SOURCE_INPUT_SIZE_TRAIN = (128, 96)
+    cfg.INPUT.TARGET_INPUT_SIZE_TRAIN = (128, 96)
+    cfg.INPUT.INPUT_SIZE_TEST = (128, 96)
+    cfg.SOLVER.NUM_ITER = steps
+    cfg.SOLVER.BATCH_SIZE = 2
+    # lr probe on this set (2026-08-19): 0.001 underfits at 120 steps,
+    # 0.01 oscillates (the 10x head group at 0.1); 0.003 converges.
+    cfg.SOLVER.BASE_LR = 0.003
+    cfg.SOLVER.WARMUP_ITERS = 0
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.DATA_PARALLEL = 1
+    cfg.TPU.DATASET_DIR = str(root)
+    cfg.OUTPUT_DIR = str(outdir)
+    cfg.SEED = seed
+    return cfg
+
+
+def pretrain_cfg(root, outdir, seed, steps):
+    cfg = _base_cfg(root, outdir, seed, steps)
+    cfg.PROTOCOL = "source"
+    cfg.NAME = f"pretrain_s{seed}"
+    cfg.SAVE_DIR = os.path.join(str(outdir), cfg.NAME)
+    return cfg
+
+
+def arm_cfg(root, outdir, arm, seed, steps, resume):
+    cfg = _base_cfg(root, outdir, seed, steps)
+    cfg.PROTOCOL = "source_target"
+    cfg.resume = resume
+    # short warmup: cold-start probes saw one seed diverge right after a
+    # round injected fresh target supervision; a ramp keeps the first
+    # post-round steps small
+    cfg.SOLVER.WARMUP_ITERS = 5
+    cfg.ACTIVE.RADIUS_K = 1
+    cfg.ACTIVE.MASK_RADIUS_K = 2
+    cfg.ACTIVE.BUDGET = 0.04
+    cfg.ACTIVE.SELECT_ITER = [max(steps // 8, 1), max(steps // 3, 2)]
+    cfg.NAME = f"{arm}_s{seed}"
+    cfg.SAVE_DIR = os.path.join(str(outdir), cfg.NAME)
+    if arm == "halo":
+        pass  # shipped recipe: entropy x radius, normalize (defaults)
+    elif arm == "random":
+        cfg.ACTIVE.UNCERTAINTY = "random"
+    elif arm == "none":
+        cfg.ACTIVE.SELECT_ITER = []
+        cfg.ACTIVE.BUDGET = 0.0
+    else:
+        raise ValueError(arm)
+    return cfg
+
+
+SHIFTED_TRAINIDS = (13, 15)  # car, bus — the classes whose colors shift
+
+
+def budget_shift_fraction(save_dir):
+    """Fraction of the acquired budget spent on the SHIFTED classes —
+    the mechanistic 'selection quality' number. The gtMask PNGs store
+    the GT trainid at selected pixels (255 elsewhere, data/masks.py), so
+    this reads directly off the acquisition artifacts. Random selection
+    lands at the class base rate; entropy x radius should land far
+    above it (the model is uncertain exactly on the novel colors)."""
+    import glob
+
+    from PIL import Image
+
+    sel = shift = 0
+    for p in glob.glob(os.path.join(
+            save_dir, "gtMask", "train", "**", "*.png"), recursive=True):
+        m = np.asarray(Image.open(p))
+        sel += int((m != 255).sum())
+        shift += int(np.isin(m, SHIFTED_TRAINIDS).sum())
+    return (shift / sel) if sel else None
+
+
+def shift_base_rate(root):
+    """Pixel base rate of the shifted classes over the target-train GT
+    (what a budget spent uniformly at random would hit)."""
+    import glob
+
+    from PIL import Image
+
+    tot = shift = 0
+    for p in glob.glob(os.path.join(
+            str(root), "cityscapes", "gtFine", "train", "**",
+            "*_labelIds.png"), recursive=True):
+        lab = np.asarray(Image.open(p))
+        tot += lab.size
+        shift += int(np.isin(lab, (26, 28)).sum())  # raw ids car/bus
+    return shift / tot if tot else None
+
+
+def present_class_miou(learner):
+    """mIoU over the classes the synthetic set actually contains (the
+    19-class mean would just dilute every arm by the same factor)."""
+    from tests.conftest import SHIFT_PRESENT_TRAINIDS
+    from halo_tpu.utils.metrics import miou_from_histograms
+
+    inter, union, target = learner._accumulate_iu(
+        learner.eval_step(learner.state, img, label, flip=True)
+        for img, label in learner._eval_batches(learner.val_loader()))
+    _, _, _, iou_c, _ = miou_from_histograms(inter, union, target)
+    iou_c = np.asarray(iou_c)
+    present = np.asarray(SHIFT_PRESENT_TRAINIDS)
+    return float(iou_c[present].mean()) * 100, {
+        int(c): float(iou_c[c]) * 100 for c in present}
+
+
+def pretrain(root, outdir, seed, steps):
+    """Source-only pretrain once per seed; every arm resumes from the
+    resulting checkpoint (the reference workflow, SURVEY.md §3E)."""
+    from halo_tpu.engine import build_learner
+
+    cfg = pretrain_cfg(root, outdir, seed, steps)
+    ckpt = os.path.join(cfg.SAVE_DIR, "last.ckpt")
+    if not os.path.exists(ckpt):
+        build_learner(cfg).fit(val_interval=0)
+    return ckpt
+
+
+def run_arm(root, outdir, arm, seed, steps, resume):
+    from halo_tpu.data import mask_cache
+    from halo_tpu.engine import build_learner
+
+    mask_cache.clear()
+    cfg = arm_cfg(root, outdir, arm, seed, steps, resume)
+    learner = build_learner(cfg)
+    learner.fit(val_interval=0)
+    miou, per_class = present_class_miou(learner)
+    return miou, per_class, budget_shift_fraction(cfg.SAVE_DIR)
+
+
+def main(seeds, steps, pretrain_steps=60, root=None, verbose=True):
+    from tests.conftest import build_shift_dataset
+
+    results = {"halo": [], "random": [], "none": []}
+    shift_fracs = {"halo": [], "random": []}
+    base_rates = []
+    detail = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        for seed in range(seeds):
+            droot = build_shift_dataset(
+                os.path.join(tmp, f"data_s{seed}"), seed=seed)
+            base_rates.append(shift_base_rate(droot))
+            ckpt = pretrain(droot, os.path.join(tmp, "out"), seed,
+                            pretrain_steps)
+            for arm in ("halo", "random", "none"):
+                miou, per_class, sfrac = run_arm(
+                    droot, os.path.join(tmp, "out"), arm, seed, steps, ckpt)
+                results[arm].append(round(miou, 2))
+                detail[f"{arm}_s{seed}"] = per_class
+                if sfrac is not None:
+                    shift_fracs[arm].append(round(sfrac, 4))
+                if verbose:
+                    print(f"[seed {seed}] {arm:6s}: present-class mIoU "
+                          f"{miou:.2f}  budget-on-shifted "
+                          f"{'-' if sfrac is None else f'{sfrac:.1%}'}"
+                          f"  per-class {per_class}",
+                          flush=True)
+    out = {
+        "metric": "acquisition_quality_miou",
+        "halo": results["halo"],
+        "random": results["random"],
+        "none": results["none"],
+        "halo_mean": round(float(np.mean(results["halo"])), 2),
+        "random_mean": round(float(np.mean(results["random"])), 2),
+        "none_mean": round(float(np.mean(results["none"])), 2),
+        # selection quality: share of the labeled budget landing on the
+        # shifted classes vs their pixel base rate
+        "halo_budget_on_shifted": round(
+            float(np.mean(shift_fracs["halo"])), 4),
+        "random_budget_on_shifted": round(
+            float(np.mean(shift_fracs["random"])), 4),
+        "shifted_px_base_rate": round(float(np.mean(base_rates)), 4),
+    }
+    print(json.dumps(out))
+    return out, detail
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=48)
+    ap.add_argument("--pretrain-steps", type=int, default=60)
+    args = ap.parse_args()
+    main(args.seeds, args.steps, args.pretrain_steps)
