@@ -7,40 +7,81 @@ domain-shift set (tests/conftest.py:build_shift_dataset), HALO's
 entropy x radius acquisition (reference:
 core/active/floating_region.py:187-193) must beat seeded-random
 selection at EQUAL budget, and any annotation must beat none, on final
-present-class target mIoU.
+present-class target mIoU — AND the mechanism must be visible: halo's
+labeled budget concentrates on the shifted classes at a multiple of
+their pixel base rate while random lands at it.
 
 The protocol is the reference's own workflow (SURVEY.md §3E): one
-source-only pretrain per seed, then each arm adapts from that shared
-checkpoint via cfg.resume — selection therefore scores a TRAINED model
-(cold-start probes put halo's budget at the class base rate and failed
-the ordering; see the harness docstring). Every input is seeded
-(dataset, params, selection), so this is a deterministic regression pin
-of the seed-0 arm recorded in BASELINE.md, not a statistical claim —
-`python benchmarks/acquisition_quality.py --seeds 3` is the multi-seed
-evidence. A selection-quality bug that preserves op parity
-(mask/indicator bookkeeping skew across rounds, budget mis-accounting
-between rounds) breaks the ordering here while passing every golden.
+source-only 400-step pretrain per seed, then each arm fine-tunes from
+that shared checkpoint via cfg.resume at pretrain-lr/10 — selection
+therefore scores a TRAINED model (cold-start probes put halo's budget
+at the class base rate and failed the ordering; adapting at the full
+pretrain lr diverges — both negative results in the harness docstring).
+Every input is seeded (dataset, params, selection), so this is a
+deterministic regression pin of the seed-0 arm recorded in BASELINE.md,
+not a statistical claim — `python benchmarks/acquisition_quality.py
+--seeds 3` is the multi-seed evidence. A selection-quality bug that
+preserves op parity (mask/indicator bookkeeping skew across rounds,
+budget mis-accounting between rounds) breaks the ordering here while
+passing every golden.
 
-Runtime: a 60-step pretrain + 3 x a 48-step fit on one CPU
-(slow-marked, like test_multihost_real); deselect with
-`-k "not acquisition"` to iterate.
+Runs the harness CLI as a fresh CPU subprocess so the suite's forced
+x64 (tests/conftest.py) cannot change the numerics or double the
+runtime of the configuration BASELINE.md records. Runtime: a 400-step
+pretrain + 3 x a 48-step fit on one CPU (~60-80 min; slow-marked, like
+test_multihost_real); deselect with `-k "not acquisition"` to iterate.
 """
 
+import json
+import os
+import subprocess
+import sys
+
 import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _clean_env():
+    """CPU-jax env for the harness subprocess (axon sitecustomize
+    disarmed; conftest's virtual 8-device XLA_FLAGS scrubbed so the
+    mesh does not scale NUM_ITER/SELECT_ITER)."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = _REPO
+    return env
 
 
 @pytest.mark.slow
 def test_halo_beats_random_beats_none():
-    from benchmarks.acquisition_quality import main
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(_REPO, "benchmarks", "acquisition_quality.py"),
+         "--seeds", "1", "--steps", "48", "--pretrain-steps", "400"],
+        env=_clean_env(), capture_output=True, text=True, timeout=9000)
+    assert proc.returncode == 0, (
+        f"harness exited {proc.returncode}\n--- stdout ---\n"
+        f"{proc.stdout[-4000:]}\n--- stderr ---\n{proc.stderr[-4000:]}")
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
 
-    out, _detail = main(seeds=1, steps=48, pretrain_steps=60,
-                        verbose=False)
     halo, random_, none = out["halo"][0], out["random"][0], out["none"][0]
     # Equal-budget selection quality: the model-scored acquisition must
     # beat the blind one, and either must beat training with no target
     # annotation at all (the none arm only ever sees source labels).
     assert halo > random_ > none, (halo, random_, none)
     # The none arm is not degenerate (the protocol itself trains) and
-    # the annotation lift is substantial, not a tie-break.
+    # the annotation lift is substantial, not a tie-break (seed 0
+    # records halo 84.5 / random 81.7 / none 55.6 — BASELINE.md).
     assert none > 0.0, none
-    assert halo >= none + 5.0, (halo, none)
+    assert halo >= none + 10.0, (halo, none)
+
+    # The mechanism, not just the endpoint: entropy x radius concentrates
+    # the labeled budget on the shifted classes at a multiple of their
+    # pixel base rate; random lands at it (seed 0: 29.2% vs 9.2% vs an
+    # 8.4% base rate).
+    base = out["shifted_px_base_rate"]
+    assert out["halo_budget_on_shifted"] >= 2.0 * base, out
+    assert out["halo_budget_on_shifted"] >= 2.0 * out[
+        "random_budget_on_shifted"], out
