@@ -16,7 +16,7 @@ target mIoU:
   none    — no annotation budget at all (SELECT_ITER=[]; the protocol,
             losses and steps are otherwise identical)
 
-Dataset (tests/conftest.py:build_shift_dataset): a learnable color->class
+Dataset (tests/shift_dataset.py:build_shift_dataset): a learnable color->class
 mapping where two RARE classes (car, bus; ~4-8%% of pixels) take NOVEL
 colors in the target domain. A source-trained model is confidently right
 on the common classes and uncertain exactly on the shifted regions, so
@@ -138,7 +138,11 @@ def arm_cfg(root, outdir, arm, seed, steps, resume):
     cfg.ACTIVE.RADIUS_K = 1
     cfg.ACTIVE.MASK_RADIUS_K = 2
     cfg.ACTIVE.BUDGET = 0.04
-    cfg.ACTIVE.SELECT_ITER = [max(steps // 8, 1), max(steps // 3, 2)]
+    # round 2 at mid-run (the reference spaces rounds ~25% of training
+    # apart, defaults.py:70-72): round 1's supervision must be ABSORBED
+    # before round 2 scores, else the still-uncertain round-1 regions
+    # win again and the remaining shift never gets budget
+    cfg.ACTIVE.SELECT_ITER = [max(steps // 8, 1), max(steps // 2, 2)]
     cfg.NAME = f"{arm}_s{seed}"
     cfg.SAVE_DIR = os.path.join(str(outdir), cfg.NAME)
     if arm == "halo":
@@ -196,7 +200,7 @@ def shift_base_rate(root):
 def present_class_miou(learner):
     """mIoU over the classes the synthetic set actually contains (the
     19-class mean would just dilute every arm by the same factor)."""
-    from tests.conftest import SHIFT_PRESENT_TRAINIDS
+    from tests.shift_dataset import SHIFT_PRESENT_TRAINIDS
     from halo_tpu.utils.metrics import miou_from_histograms
 
     inter, union, target = learner._accumulate_iu(
@@ -234,7 +238,7 @@ def run_arm(root, outdir, arm, seed, steps, resume):
 
 
 def main(seeds, steps, pretrain_steps=400, root=None, verbose=True):
-    from tests.conftest import build_shift_dataset
+    from tests.shift_dataset import build_shift_dataset
 
     results = {"halo": [], "random": [], "none": []}
     shift_fracs = {"halo": [], "random": []}

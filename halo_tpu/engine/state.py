@@ -91,9 +91,27 @@ def restore_state(state: TrainState, path: str) -> TrainState:
             state.opt_state, blob["opt_state"]),
         # pre-quant checkpoints have no "quant" key; a float build
         # restoring a quantized checkpoint keeps its empty dict
-        quant=(serialization.from_state_dict(state.quant, blob["quant"])
+        quant=(_restore_quant(state.quant, blob["quant"])
                if state.quant and blob.get("quant") else state.quant),
     )
+
+
+def _restore_quant(container, blob_quant):
+    """Quant-tree restore that tolerates eligibility drift: a checkpoint
+    calibrated before ``quant_eligible`` changed (e.g. the round-4
+    strided-conv extension) has a different set of quantized layers than
+    the current build. Structure mismatch must NOT kill the restore —
+    the calibration is simply stale, so keep the build's fresh
+    (uncalibrated) leaves and let TestLearner's assert_calibrated check
+    route to recalibration (engine/learners.py)."""
+    try:
+        return serialization.from_state_dict(container, blob_quant)
+    except (ValueError, KeyError) as e:
+        import warnings
+        warnings.warn(
+            "checkpoint quant state does not match this build's quantized "
+            f"layer set (eligibility drift?) — ignoring it: {e}")
+        return container
 
 
 def load_module_params(state: TrainState, path: str,
@@ -122,9 +140,15 @@ def load_module_params(state: TrainState, path: str,
         if state.batch_stats else state.batch_stats
     # PTQ state mirrors the module tree, so a quantized build restoring a
     # calibrated checkpoint gets its scales back and the serving entry can
-    # skip recalibration (TestLearner checks assert_calibrated).
-    quant = merge(state.quant, blob.get("quant", {})) if state.quant \
-        else state.quant
+    # skip recalibration (TestLearner checks assert_calibrated). Merged
+    # through the drift-tolerant restore: a quant tree written before an
+    # eligibility change keeps the build uncalibrated instead of crashing.
+    blob_quant = blob.get("quant", {})
+    quant = (dict(state.quant,
+                  **{module: _restore_quant(state.quant[module],
+                                            blob_quant[module])})
+             if state.quant and module in blob_quant
+             and module in state.quant else state.quant)
     return state.replace(params=params, frozen=frozen,
                          batch_stats=batch_stats, quant=quant)
 

@@ -19,8 +19,11 @@ TPU-native extension, not a parity item):
     in f32, then cast to the compute dtype so BN/ReLU fuse as usual.
 
 Which convs quantize is decided statically at model build
-(models/layers.py:quant_eligible — stride-1 ungrouped convs, i.e. the
-whole dilated trunk minus the stem plus the decoder's dense convs; the
+(models/layers.py:quant_eligible — ungrouped convs that are stride-1,
+OR strided with Cin>=128 and a large output grid, the round-4
+extension measured in benchmarks/bench_int8_strided.py: the whole
+dilated trunk minus the stem, the ResNet downsample transitions, the
+decoder's dense convs, and the wide MiT patch embeds; the
 logits/embedding producers and the hyperbolic head stay float, the
 standard first/last-layer PTQ exclusions).
 

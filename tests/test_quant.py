@@ -349,6 +349,54 @@ def test_quant_state_checkpoint_roundtrip(quant_off, tmp_path):
     assert not restored_f.quant
 
 
+def test_quant_restore_tolerates_eligibility_drift(quant_off, tmp_path):
+    """A checkpoint calibrated before ``quant_eligible`` changed (e.g.
+    the round-4 strided-conv extension) carries a DIFFERENT quantized-
+    layer set than the current build. Restoring it must not crash
+    (flax from_state_dict raises on structure mismatch): the stale
+    quant tree is dropped with a warning, the build stays uncalibrated,
+    and TestLearner's assert_calibrated check routes to recalibration
+    (engine/state._restore_quant)."""
+    import optax
+    from flax import serialization
+    from halo_tpu.engine.state import (load_checkpoint_blob,
+                                       load_module_params, restore_state,
+                                       save_checkpoint,
+                                       state_from_variables)
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 64, 64, 3), jnp.float32)
+    model = build_segmentor(_cfg(True))
+    v = quant.calibrate(model, _init(model, x), [x])
+    tx = optax.sgd(0.1)
+    state = state_from_variables(v, tx)
+    path = str(tmp_path / "q.ckpt")
+    save_checkpoint(state, path)
+
+    # Simulate drift: drop one quantized layer from the checkpoint tree
+    # (as if the checkpoint predated that layer's eligibility).
+    blob = load_checkpoint_blob(path)
+    fe = blob["quant"]["feature_extractor"]
+    fe.pop(sorted(fe)[0])
+    drifted = str(tmp_path / "drifted.ckpt")
+    with open(drifted, "wb") as f:
+        f.write(serialization.msgpack_serialize(blob))
+
+    fresh = state_from_variables(_init(model, x), tx)
+    with pytest.warns(UserWarning, match="quant state"):
+        restored = restore_state(fresh, drifted)
+    with pytest.raises(ValueError, match="uncalibrated"):
+        quant.assert_calibrated(restored.variables())
+    # the non-quant state still restored
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # per-module path (the resume route TestLearner actually takes)
+    with pytest.warns(UserWarning, match="quant state"):
+        restored_m = load_module_params(fresh, drifted, "feature_extractor")
+    with pytest.raises(ValueError, match="uncalibrated"):
+        quant.assert_calibrated(restored_m.variables())
+
+
 def test_train_mode_passthrough(quant_off):
     """A quantized build in TRAIN mode computes the float forward —
     matching the float build exactly (same emitter calls)."""
