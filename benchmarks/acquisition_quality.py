@@ -16,55 +16,58 @@ target mIoU:
   none    — no annotation budget at all (SELECT_ITER=[]; the protocol,
             losses and steps are otherwise identical)
 
-Dataset (tests/shift_dataset.py:build_shift_dataset): a learnable color->class
-mapping where two RARE classes (car, bus; ~4-8%% of pixels) take NOVEL
-colors in the target domain. A source-trained model is confidently right
-on the common classes and uncertain exactly on the shifted regions, so
-selection QUALITY decides how much of the shift gets supervised: random
-spends ~90%% of its budget on pixels the model already gets right.
+Dataset (tests/shift_dataset.py:build_shift_dataset): a learnable
+color->class mapping where two RARE classes (car, bus; ~8%% of pixels)
+take NOVEL per-instance hues in the target domain, drawn with a wide
+noise (sigma=28) that makes each hue take real sample support to learn.
+A source-trained model is confidently right on the common classes and
+uncertain exactly on the shifted regions, so selection QUALITY decides
+how much of — and how well — the shift gets supervised.
 
 Protocol = the reference's actual workflow (SURVEY.md §3E): each seed
 first SOURCE-PRETRAINS once (PROTOCOL='source'), then every arm adapts
 from that shared checkpoint via cfg.resume (reference:
 core/utils/misc.py:165-178; configs/gtav/source_target.yaml resumes
-from results/pretrain_gtav). Two measured negative results shaped the
-recipe (2026-08-19, recorded in benchmarks/README.md):
+from results/pretrain_gtav). The recipe was shaped by measured negative
+results (2026-08-19, full ablation trail in benchmarks/README.md):
 
-  * WITHOUT pretraining (cold-start source_target, rounds at steps
-    10/20 of 60) the acquisition scores are noise — the model is
-    untrained at selection time, halo's budget-on-shifted landed AT
-    the 8.4%% pixel base rate, one halo seed diverged, and the 3-seed
-    ordering failed (halo 12.4 vs random 16.7 mean) — hence the
-    pretrain stage.
+  * WITHOUT pretraining the acquisition scores are noise (halo's
+    budget landed AT the pixel base rate and the seed ordering
+    failed) — hence the 400-step pretrain (past the source fit's
+    phase transition at step ~250; at 60 steps selection is
+    semi-informed).
   * Adapting at the PRETRAIN lr (3e-3) diverges: the reference fires
     round 1 at iter 0 with warmup 600 COVERING the fresh target
     supervision (core/configs/defaults.py:70-72,53), but this
     compressed schedule ends its 5-step warmup right before round 1,
     so the first full-lr step lands on the fresh target CE (the 10x
     classifier group at 3e-2) and the SOURCE loss explodes 0.087 ->
-    3.3 -> 50 by step 18 and never recovers (seed-0 metrics.jsonl
-    pin; final mIoU 14.9 vs 58.8 for the none arm). Arms therefore
-    fine-tune at lr 3e-4 (pretrain/10), the standard resume-lr drop;
-    at 3e-4 every arm is stable and halo reaches 84.5.
+    3.3 -> 50 and never recovers. Arms fine-tune at lr 3e-4
+    (pretrain/10), the standard resume-lr drop; every arm is stable.
+  * The DATASET must make budget placement matter, or the A/B
+    saturates: with one fixed novel color per class (or clean
+    sigma=8 hues), ~20 random px per color already matched halo's
+    concentrated budget and the endpoint was a coin flip; with
+    cross-class hue near-collisions, car and bus hit a joint
+    accuracy ceiling and supervision moved the boundary instead of
+    adding skill. The shipped set uses 3 well-separated hues per
+    class (cross-class RGB distance >=130) under sigma=28.
+  * MASK_RADIUS_K must stay at the reference's 5 (defaults.py:76):
+    an early draft used 2 and halo's picks saturated the few
+    top-scoring instances, leaving other instances unsupervised.
 
-Expected ordering (asserted over seeds by
-tests/test_acquisition_quality.py): halo >= random > none on present-
-class mIoU. A second, mechanistic metric — the share of the labeled
-budget landing on the shifted classes vs their pixel base rate — shows
-WHY: entropy x radius concentrates the budget on the novel-color
-regions while random lands at the base rate. Results recorded in
-BASELINE.md.
-
-Pretrain length matters: the tiny model's source fit has a phase
-transition around step 250-300 (loss 0.9 -> 0.09); at 60 steps the
-model is mid-transition and selection is semi-informed, at 400 the
-source recall is >=0.85 on every class and the acquisition signal is
-clean (halo budget-on-shifted 26-29%% vs the 8.4%% base rate). 400 is
-the default and the configuration recorded in BASELINE.md.
+Expected ordering (asserted at seed 0 by
+tests/test_acquisition_quality.py): halo > random > none on present-
+class mIoU (seed 0: 78.1 / 74.9 / 62.2). A second, mechanistic metric —
+the share of the labeled budget landing on the shifted (and rare)
+classes vs their pixel base rate — shows WHY: entropy x radius puts
+24%% of the budget on the shifted classes (2.8x their 8.6%% base rate)
+and ~40%% on the rare classes, while random lands at the base rates.
+Results recorded in BASELINE.md.
 
 Usage: python benchmarks/acquisition_quality.py [--seeds 3] [--steps 48]
 [--pretrain-steps 400]. Prints one JSON line with per-seed mIoUs, the
-per-arm means, and the budget-on-shifted-classes fractions.
+per-arm means, and the budget-on-shifted/rare fractions.
 """
 
 import argparse
@@ -129,14 +132,20 @@ def arm_cfg(root, outdir, arm, seed, steps, resume):
     # Fine-tune at pretrain/10: at the pretrain lr the first full-lr
     # step after round 1's fresh target supervision diverges the run
     # (docstring, second negative result). 3e-4 is stable for every
-    # arm at seed 0 (halo 84.5 / random 81.7 / none 55.6).
+    # arm at seed 0 (halo 78.1 / random 74.9 / none 62.2).
     cfg.SOLVER.BASE_LR = 0.0003
     # short warmup: cold-start probes saw one seed diverge right after a
     # round injected fresh target supervision; a ramp keeps the first
     # post-round steps small
     cfg.SOLVER.WARMUP_ITERS = 5
     cfg.ACTIVE.RADIUS_K = 1
-    cfg.ACTIVE.MASK_RADIUS_K = 2
+    # the shipped suppression radius (reference defaults.py:76, 11x11
+    # around each pick): it forces the budget to SPREAD across
+    # instances. An early harness draft used 2 (5x5) and halo saturated
+    # the few top-scoring instances — 727 bus px on 2-3 rectangles left
+    # the other bus hues unsupervised and bus IoU BELOW random's
+    # (27.2 vs 47.2) despite 3x random's bus budget.
+    cfg.ACTIVE.MASK_RADIUS_K = 5
     cfg.ACTIVE.BUDGET = 0.04
     # round 2 at mid-run (the reference spaces rounds ~25% of training
     # apart, defaults.py:70-72): round 1's supervision must be ABSORBED
@@ -158,26 +167,33 @@ def arm_cfg(root, outdir, arm, seed, steps, resume):
 
 
 SHIFTED_TRAINIDS = (13, 15)  # car, bus — the classes whose colors shift
+RARE_TRAINIDS = (5, 13, 15)  # pole (rare, unshifted) + car + bus
 
 
-def budget_shift_fraction(save_dir):
-    """Fraction of the acquired budget spent on the SHIFTED classes —
-    the mechanistic 'selection quality' number. The gtMask PNGs store
-    the GT trainid at selected pixels (255 elsewhere, data/masks.py), so
-    this reads directly off the acquisition artifacts. Random selection
-    lands at the class base rate; entropy x radius should land far
-    above it (the model is uncertain exactly on the novel colors)."""
+def budget_fractions(save_dir):
+    """(budget-on-shifted, budget-on-rare): the fractions of the
+    acquired budget spent on the SHIFTED classes (car+bus — the
+    uncertainty/entropy signal) and on the RARE classes (pole+car+bus —
+    the hyperbolic-radius signal: radius tracks class rarity, the
+    paper's core claim). The gtMask PNGs store the GT trainid at
+    selected pixels (255 elsewhere, data/masks.py), so this reads
+    directly off the acquisition artifacts. Random selection lands at
+    the class base rates; entropy x radius should land far above
+    both."""
     import glob
 
     from PIL import Image
 
-    sel = shift = 0
+    sel = shift = rare = 0
     for p in glob.glob(os.path.join(
             save_dir, "gtMask", "train", "**", "*.png"), recursive=True):
         m = np.asarray(Image.open(p))
         sel += int((m != 255).sum())
         shift += int(np.isin(m, SHIFTED_TRAINIDS).sum())
-    return (shift / sel) if sel else None
+        rare += int(np.isin(m, RARE_TRAINIDS).sum())
+    if not sel:
+        return None, None
+    return shift / sel, rare / sel
 
 
 def shift_base_rate(root):
@@ -234,7 +250,8 @@ def run_arm(root, outdir, arm, seed, steps, resume):
     learner = build_learner(cfg)
     learner.fit(val_interval=0)
     miou, per_class = present_class_miou(learner)
-    return miou, per_class, budget_shift_fraction(cfg.SAVE_DIR)
+    sfrac, rfrac = budget_fractions(cfg.SAVE_DIR)
+    return miou, per_class, sfrac, rfrac
 
 
 def main(seeds, steps, pretrain_steps=400, root=None, verbose=True):
@@ -242,6 +259,7 @@ def main(seeds, steps, pretrain_steps=400, root=None, verbose=True):
 
     results = {"halo": [], "random": [], "none": []}
     shift_fracs = {"halo": [], "random": []}
+    rare_fracs = {"halo": [], "random": []}
     base_rates = []
     detail = {}
     with tempfile.TemporaryDirectory() as tmp:
@@ -252,16 +270,19 @@ def main(seeds, steps, pretrain_steps=400, root=None, verbose=True):
             ckpt = pretrain(droot, os.path.join(tmp, "out"), seed,
                             pretrain_steps)
             for arm in ("halo", "random", "none"):
-                miou, per_class, sfrac = run_arm(
+                miou, per_class, sfrac, rfrac = run_arm(
                     droot, os.path.join(tmp, "out"), arm, seed, steps, ckpt)
                 results[arm].append(round(miou, 2))
                 detail[f"{arm}_s{seed}"] = per_class
                 if sfrac is not None:
                     shift_fracs[arm].append(round(sfrac, 4))
+                    rare_fracs[arm].append(round(rfrac, 4))
                 if verbose:
                     print(f"[seed {seed}] {arm:6s}: present-class mIoU "
                           f"{miou:.2f}  budget-on-shifted "
                           f"{'-' if sfrac is None else f'{sfrac:.1%}'}"
+                          f"  budget-on-rare "
+                          f"{'-' if rfrac is None else f'{rfrac:.1%}'}"
                           f"  per-class {per_class}",
                           flush=True)
     out = {
@@ -273,11 +294,16 @@ def main(seeds, steps, pretrain_steps=400, root=None, verbose=True):
         "random_mean": round(float(np.mean(results["random"])), 2),
         "none_mean": round(float(np.mean(results["none"])), 2),
         # selection quality: share of the labeled budget landing on the
-        # shifted classes vs their pixel base rate
+        # shifted classes (entropy's target) and on the rare classes
+        # (radius's target), vs their pixel base rates
         "halo_budget_on_shifted": round(
             float(np.mean(shift_fracs["halo"])), 4),
         "random_budget_on_shifted": round(
             float(np.mean(shift_fracs["random"])), 4),
+        "halo_budget_on_rare": round(
+            float(np.mean(rare_fracs["halo"])), 4),
+        "random_budget_on_rare": round(
+            float(np.mean(rare_fracs["random"])), 4),
         "shifted_px_base_rate": round(float(np.mean(base_rates)), 4),
     }
     print(json.dumps(out))

@@ -45,9 +45,17 @@ _SHIFT_PALETTE = [
 # rounds), random's ~16 px/object taught the one color per class almost
 # as well as halo's concentrated budget (random 80.7 vs halo 76.2 —
 # inside precision noise, ordering unstable).
+# Hue geometry matters: an earlier draft drew 4 hues/class with
+# cross-class near-collisions (car pink ~ bus magenta at RGB distance
+# ~100, car green ~ bus yellow-green ~99) and the car/bus pair hit a
+# JOINT accuracy ceiling — supervision moved the decision boundary
+# instead of adding skill (halo car 53/bus 23 vs random car 32/bus 45;
+# the car+bus SUMS were equal). These hues keep every CROSS-CLASS RGB
+# distance >=130 (and >=106 to every common/source color; within-class
+# closeness is harmless), so each is learnable once supervised.
 _TARGET_HUES = {
-    26: [(160, 40, 220), (40, 90, 230), (230, 120, 200), (90, 220, 130)],
-    28: [(40, 215, 215), (215, 60, 130), (130, 215, 40), (220, 160, 60)],
+    26: [(150, 30, 220), (240, 40, 160), (240, 240, 240)],
+    28: [(30, 220, 220), (20, 40, 230), (130, 250, 120)],
 }
 SHIFT_PRESENT_TRAINIDS = (0, 2, 5, 8, 10, 13, 15)
 
@@ -85,14 +93,24 @@ def _shift_image(rng, size, domain):
                  hue_idx=int(rng.integers(0, len(_TARGET_HUES[cls]))))
 
     img = np.empty((h, w, 3), np.float32)
+    shifted = np.zeros((h, w), bool)
     for entry in _SHIFT_PALETTE:
         cls, src_rgb, tgt_rgb = entry
         if domain == "source" or tgt_rgb is not None:
             img[label == cls] = src_rgb if domain == "source" else tgt_rgb
         else:  # target-domain shifted class: per-instance novel hue
+            shifted |= label == cls
             for i, rgb in enumerate(_TARGET_HUES[cls]):
                 img[(label == cls) & (hue == i)] = rgb
+    # Noise floor sigma=8 everywhere; the NOVEL hues carry sigma=28
+    # (cross-class hue separation stays >=4.6 sigma, so the mapping is
+    # still cleanly learnable — but learning each hue now takes real
+    # sample support instead of a handful of pixels, which is what lets
+    # budget PLACEMENT show up in the endpoint: measured at sigma=8,
+    # ~20 random px/hue already matched halo's concentrated budget).
     img += rng.normal(0.0, 8.0, img.shape)
+    if shifted.any():
+        img[shifted] += rng.normal(0.0, 26.8, (int(shifted.sum()), 3))
     return np.clip(img, 0, 255).astype(np.uint8), label
 
 

@@ -73,14 +73,14 @@ def test_halo_beats_random_beats_none():
     assert halo > random_ > none, (halo, random_, none)
     # The none arm is not degenerate (the protocol itself trains) and
     # the annotation lift is substantial, not a tie-break (seed 0
-    # records halo 84.5 / random 81.7 / none 55.6 — BASELINE.md).
+    # records halo 78.1 / random 74.9 / none 62.2 — BASELINE.md).
     assert none > 0.0, none
     assert halo >= none + 10.0, (halo, none)
 
     # The mechanism, not just the endpoint: entropy x radius concentrates
     # the labeled budget on the shifted classes at a multiple of their
-    # pixel base rate; random lands at it (seed 0: 29.2% vs 9.2% vs an
-    # 8.4% base rate).
+    # pixel base rate; random lands at it (seed 0: 24.3% vs 8.0% vs an
+    # 8.6% base rate).
     base = out["shifted_px_base_rate"]
     assert out["halo_budget_on_shifted"] >= 2.0 * base, out
     assert out["halo_budget_on_shifted"] >= 2.0 * out[
