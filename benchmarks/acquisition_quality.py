@@ -125,7 +125,7 @@ def pretrain_cfg(root, outdir, seed, steps):
     return cfg
 
 
-def arm_cfg(root, outdir, arm, seed, steps, resume):
+def arm_cfg(root, outdir, arm, seed, steps, resume, budget=0.04):
     cfg = _base_cfg(root, outdir, seed, steps)
     cfg.PROTOCOL = "source_target"
     cfg.resume = resume
@@ -146,7 +146,7 @@ def arm_cfg(root, outdir, arm, seed, steps, resume):
     # the other bus hues unsupervised and bus IoU BELOW random's
     # (27.2 vs 47.2) despite 3x random's bus budget.
     cfg.ACTIVE.MASK_RADIUS_K = 5
-    cfg.ACTIVE.BUDGET = 0.04
+    cfg.ACTIVE.BUDGET = budget
     # round 2 at mid-run (the reference spaces rounds ~25% of training
     # apart, defaults.py:70-72): round 1's supervision must be ABSORBED
     # before round 2 scores, else the still-uncertain round-1 regions
@@ -241,12 +241,12 @@ def pretrain(root, outdir, seed, steps):
     return ckpt
 
 
-def run_arm(root, outdir, arm, seed, steps, resume):
+def run_arm(root, outdir, arm, seed, steps, resume, budget=0.04):
     from halo_tpu.data import mask_cache
     from halo_tpu.engine import build_learner
 
     mask_cache.clear()
-    cfg = arm_cfg(root, outdir, arm, seed, steps, resume)
+    cfg = arm_cfg(root, outdir, arm, seed, steps, resume, budget)
     learner = build_learner(cfg)
     learner.fit(val_interval=0)
     miou, per_class = present_class_miou(learner)
@@ -254,7 +254,8 @@ def run_arm(root, outdir, arm, seed, steps, resume):
     return miou, per_class, sfrac, rfrac
 
 
-def main(seeds, steps, pretrain_steps=400, root=None, verbose=True):
+def main(seeds, steps, pretrain_steps=400, budget=0.04, root=None,
+         verbose=True):
     from tests.shift_dataset import build_shift_dataset
 
     results = {"halo": [], "random": [], "none": []}
@@ -271,7 +272,8 @@ def main(seeds, steps, pretrain_steps=400, root=None, verbose=True):
                             pretrain_steps)
             for arm in ("halo", "random", "none"):
                 miou, per_class, sfrac, rfrac = run_arm(
-                    droot, os.path.join(tmp, "out"), arm, seed, steps, ckpt)
+                    droot, os.path.join(tmp, "out"), arm, seed, steps, ckpt,
+                    budget)
                 results[arm].append(round(miou, 2))
                 detail[f"{arm}_s{seed}"] = per_class
                 if sfrac is not None:
@@ -315,5 +317,7 @@ if __name__ == "__main__":
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--steps", type=int, default=48)
     ap.add_argument("--pretrain-steps", type=int, default=400)
+    ap.add_argument("--budget", type=float, default=0.04,
+                    help="per-round fraction of pixels to label")
     args = ap.parse_args()
-    main(args.seeds, args.steps, args.pretrain_steps)
+    main(args.seeds, args.steps, args.pretrain_steps, args.budget)
