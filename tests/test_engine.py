@@ -91,6 +91,56 @@ def test_source_target_active_round(mini_root, tmp_path):
             "negative_loss"} <= set(hist[0].keys()) - {"step"}
 
 
+def test_quant_sweep_round(mini_root, tmp_path):
+    """TPU.QUANT_SWEEP routes the acquisition sweep's eval forward
+    through the int8 W8A8 twin (learners._ActiveMixin._sweep_model_state)
+    while training itself stays float. Same protocol as the float round
+    above: the round must run to completion, spend the same budget, and
+    leave no quant residue on the training model. Fidelity of the
+    SELECTION itself is measured on the pretrained shift set in
+    benchmarks/bench_int8_sweep.py (an untrained tiny model's score
+    ordering is noise, so mask-IoU assertions belong there)."""
+    from halo_tpu.models import layers as model_layers
+
+    def run(quant_sweep):
+        cfg = tiny_cfg(mini_root, tmp_path, "source_target")
+        cfg.NAME = f"qs_{int(quant_sweep)}"
+        cfg.SAVE_DIR = os.path.join(cfg.OUTPUT_DIR, cfg.NAME)
+        cfg.TPU.QUANT_SWEEP = quant_sweep
+        from halo_tpu.data import mask_cache
+        mask_cache.clear()
+        learner = build_learner(cfg)
+        learner.fit(max_steps=3, val_interval=0)
+        assert learner.active_round == 2
+        from halo_tpu.data.masks import load_indicator
+        ind_dir = os.path.join(cfg.SAVE_DIR, "gtIndicator/train")
+        selected = 0
+        for root, _dirs, files in os.walk(ind_dir):
+            for f in files:
+                selected += int(load_indicator(
+                    os.path.join(root, f))["selected"].sum())
+        return learner, selected
+
+    learner_q, selected_q = run(True)
+    # int8 twin built + calibrated; the TRAINING state carries no quant
+    # collection and the dispatch global is restored for later traces
+    assert learner_q._quant_sweep is not None
+    assert not learner_q.state.quant
+    assert model_layers.QUANT_EVAL is False
+    from halo_tpu.ops.quant import assert_calibrated
+    qmodel, _, qzero = learner_q._quant_sweep
+    with pytest.raises(ValueError):  # the zeros template is uncalibrated
+        assert_calibrated({"quant": qzero})
+    assert selected_q > 0
+
+    # equal budget: num_picks is a budget CONSTANT, so the int8 sweep
+    # spends what the float one does up to border clipping of region
+    # boxes (pick positions may differ; a border pick's (2r+1)^2 box
+    # clips smaller)
+    _, selected_f = run(False)
+    assert 0.7 * selected_f <= selected_q <= selected_f / 0.7
+
+
 def test_checkpoint_roundtrip_and_module_load(mini_root, tmp_path):
     cfg = tiny_cfg(mini_root, tmp_path, "source")
     learner = build_learner(cfg)
@@ -341,6 +391,46 @@ def test_resume_full_continues_from_step(mini_root, tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     hist = learner2.fit(max_steps=5, val_interval=0)
     assert [h["step"] for h in hist] == [3, 4]
+
+
+def test_metrics_jsonl_schema_and_lr_trace(mini_root, tmp_path):
+    """Observability parity (reference train_learners.py:210-217 logs
+    losses, both group LRs and the active round every step): pins the
+    metrics.jsonl step-record schema and checks the logged LR trace —
+    including across a resume_full restart — matches the warmup->poly
+    schedule exactly through the warmup boundary."""
+    import json
+
+    cfg = tiny_cfg(mini_root, tmp_path, "source")
+    cfg.SOLVER.NUM_ITER = 8
+    cfg.SOLVER.WARMUP_ITERS = 3
+    learner = build_learner(cfg)
+    learner.fit(max_steps=4, val_interval=0)
+    learner2 = build_learner(cfg)
+    assert learner2.resume_full(
+        os.path.join(cfg.SAVE_DIR, "last.ckpt")) == 4
+    learner2.fit(val_interval=0)
+
+    with open(os.path.join(cfg.SAVE_DIR, "metrics.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    steps = [r for r in records if "loss" in r]
+    assert [r["step"] for r in steps] == list(range(8))
+    for r in steps:
+        assert {"step", "loss", "lr_fea", "lr_cls",
+                "active_round"} <= set(r), sorted(r)
+        assert r["active_round"] == 1
+
+    # LR trace == schedule, across the warmup(3)->poly boundary and the
+    # step-4 restart; classifier group at 10x throughout.
+    sched = torch_warmup_poly_schedule(cfg.SOLVER.BASE_LR, 3, 8,
+                                       cfg.SOLVER.LR_POWER)
+    for r in steps:
+        np.testing.assert_allclose(r["lr_fea"], float(sched(r["step"])),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(r["lr_cls"], 10 * r["lr_fea"],
+                                   rtol=1e-6)
+    assert steps[2]["lr_fea"] < cfg.SOLVER.BASE_LR  # still warming up
+    assert steps[3]["lr_fea"] == pytest.approx(cfg.SOLVER.BASE_LR)
 
 
 def test_eval_step_flip_tta_golden(mini_root, tmp_path):

@@ -279,3 +279,47 @@ def test_gemm_wgrad_conv_module_param_layout():
     np.testing.assert_allclose(np.asarray(g.apply(v_g, x)),
                                np.asarray(c.apply(v_g, x)),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["deeplabv3plus_resnettiny",
+                                  "segformer_mittiny"])
+def test_remat_is_a_pure_perf_knob(name):
+    """TPU.REMAT (per-block rematerialization, models/build.py:44,51)
+    trades recompute FLOPs for activation memory and must change NOTHING
+    numerically: same init keys -> same params, and both forward outputs
+    and parameter gradients match the non-remat model on both families."""
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3),
+                          jnp.float32)
+
+    def run(remat):
+        cfg = _cfg(name, reduced=16)
+        cfg.TPU.REMAT = remat
+        model = build_segmentor(cfg)
+        variables = dict(_init(model, x))
+        params = variables.pop("params")
+
+        def loss(p):
+            out = model.apply({**variables, "params": p}, x, train=False)
+            return sum(jnp.sum(l * l)
+                       for l in jax.tree_util.tree_leaves(out))
+
+        return jax.jit(jax.value_and_grad(loss))(params)
+
+    l0, g0 = run(False)
+    l1, g1 = run(True)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    assert len(flat0) == len(flat1)
+    # Tolerance is set by the GLOBAL gradient scale, not per-leaf:
+    # remat changes XLA fusion, i.e. f32 summation order, and
+    # cancellation-dominated leaves (attention biases sum thousands of
+    # +-O(peak) terms down to ~1e-4) legitimately differ by a few ULPs
+    # of the PARTIAL-SUM magnitude — a per-leaf rtol on such a leaf
+    # compares reassociation noise to itself.
+    gmax = max(float(jnp.max(jnp.abs(a))) for _, a in flat0)
+    for (path, a), b in zip(flat0, flat1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4,
+            atol=1e-3 * gmax,
+            err_msg=jax.tree_util.keystr(path))

@@ -169,3 +169,39 @@ def test_budget_plot_overlays_run_logs(tmp_path, monkeypatch):
     assert out.exists() and out.stat().st_size > 1000
     # published ablation table is intact (reference analysis/budget_plot.py:5-10)
     assert bp.HALO_MIOU[bp.BUDGETS.index(5.0)] == 74.5
+
+
+def test_launch_pod_script(tmp_path):
+    """The L9 pod runbook (scripts/launch_pod.sh, reference analogue
+    docker-compose.yml:17-25): --dry-run prints the exact launch
+    command(s) in both modes without executing anything."""
+    script = os.path.join(_REPO, "scripts/launch_pod.sh")
+
+    def run(*args):
+        return subprocess.run(["bash", script, *args], cwd=_REPO,
+                              capture_output=True, text=True)
+
+    # remote mode: one gcloud fan-out to every worker, HALO_MULTIHOST=1
+    p = run("--dry-run", "--tpu", "my-v5e-8", "--zone", "us-west4-a",
+            "--repo", "/opt/halo", "--",
+            "-cfg", "configs/gtav/source_target.yaml", "SEED", "1")
+    assert p.returncode == 0, p.stderr
+    dry = [l.replace("\\", "") for l in p.stdout.splitlines()
+           if l.startswith("DRY-RUN:")]
+    assert len(dry) == 1
+    assert "gcloud compute tpus tpu-vm ssh my-v5e-8" in dry[0]
+    assert "--worker=all" in dry[0]
+    assert "HALO_MULTIHOST=1" in dry[0] and "cd /opt/halo" in dry[0]
+    assert "-cfg configs/gtav/source_target.yaml SEED 1" in dry[0]
+
+    # local mode (this host is one worker / a single board)
+    p = run("--dry-run", "--multihost", "1", "--",
+            "-cfg", "configs/gtav/source_target.yaml")
+    assert p.returncode == 0, p.stderr
+    dry = [l for l in p.stdout.splitlines() if l.startswith("DRY-RUN:")]
+    assert len(dry) == 1
+    assert "env HALO_MULTIHOST=1 python train.py -cfg" in dry[0]
+
+    # guard rails: --tpu without --zone, and no train args, both refuse
+    assert run("--dry-run", "--tpu", "x", "--", "-cfg", "c").returncode == 2
+    assert run("--dry-run").returncode == 2
