@@ -100,8 +100,8 @@ def _timing_program(cfg, model, variables, batch, native, quant):
     import jax.numpy as jnp
 
     from halo_tpu.active.scoring import fused_upsample_region_score
-    from halo_tpu.active.selection import select_pixels_to_label
-    from halo_tpu.active.pallas_select import pallas_select_pixels_to_label
+    from halo_tpu.active.selection import (pallas_select_pixels_to_label,
+                                           select_pixels_to_label)
     from halo_tpu.engine.steps import make_forward
     from halo_tpu.models import layers as model_layers
 

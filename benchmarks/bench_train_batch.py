@@ -131,15 +131,23 @@ def sweep():
                 else:
                     text = (proc.stderr or "") + (proc.stdout or "")
                     lines = text.strip().splitlines()
-                    # surface the INFORMATIVE line: exception types /
-                    # XLA status codes, not decorative separators
-                    informative = [l for l in lines if any(
-                        k in l for k in ("Error", "RESOURCE_EXHAUSTED",
-                                         "INTERNAL", "Exception",
-                                         "LIMIT_EXCEEDED", "ABORTED"))]
-                    pick = (informative[-1] if informative
-                            else lines[-1] if lines
-                            else f"rc={proc.returncode}")
+                    # surface the MOST SPECIFIC line: root causes (OOM,
+                    # XLA status codes) before generic relay/exception
+                    # wrappers — and never the benign single-host
+                    # TPU_WORKER_HOSTNAMES teardown warning, which also
+                    # matches "Error", appears in SUCCESSFUL runs too,
+                    # and once masked the real OOM in a recorded sweep
+                    pick = None
+                    for key in ("Ran out of memory", "RESOURCE_EXHAUSTED",
+                                "LIMIT_EXCEEDED", "INVALID_ARGUMENT",
+                                "Exception", "Error", "ERROR", "ABORTED"):
+                        hits = [l for l in lines if key in l
+                                and "TPU_WORKER_HOSTNAMES" not in l]
+                        if hits:
+                            pick = hits[-1]
+                            break
+                    if pick is None:
+                        pick = lines[-1] if lines else f"rc={proc.returncode}"
                     row = {"batch": B, "remat": bool(remat), "ok": False,
                            "error": pick.strip()[:300]}
             except subprocess.TimeoutExpired:
