@@ -41,7 +41,7 @@ import jax
 import numpy as np
 
 
-def fidelity(seed=0, steps=48, pretrain_steps=400):
+def fidelity(seed=0, steps=48, pretrain_steps=400, budget=0.04):
     jax.config.update("jax_platforms", "cpu")
     import benchmarks.acquisition_quality as aq
     from halo_tpu.data import mask_cache
@@ -51,7 +51,7 @@ def fidelity(seed=0, steps=48, pretrain_steps=400):
     aq._DEVICE = "cpu"
     from tests.shift_dataset import build_shift_dataset
 
-    out = {"metric": "int8_sweep_fidelity", "seed": seed}
+    out = {"metric": "int8_sweep_fidelity", "seed": seed, "budget": budget}
     with tempfile.TemporaryDirectory() as tmp:
         droot = build_shift_dataset(os.path.join(tmp, "data"), seed=seed)
         ckpt = aq.pretrain(droot, os.path.join(tmp, "out"), seed,
@@ -60,7 +60,7 @@ def fidelity(seed=0, steps=48, pretrain_steps=400):
         for variant, quant in (("float", False), ("int8", True)):
             mask_cache.clear()
             cfg = aq.arm_cfg(droot, os.path.join(tmp, "out"), "halo",
-                             seed, steps, ckpt)
+                             seed, steps, ckpt, budget)
             cfg.NAME = f"halo_{variant}_s{seed}"
             cfg.SAVE_DIR = os.path.join(tmp, "out", cfg.NAME)
             cfg.TPU.QUANT_SWEEP = quant
@@ -251,8 +251,11 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=48)
     ap.add_argument("--pretrain-steps", type=int, default=400)
     ap.add_argument("--active-batch", type=int, default=2)
+    ap.add_argument("--budget", type=float, default=0.04,
+                    help="per-run pixel budget for fidelity mode "
+                    "(0.01 = the scarce regime)")
     args = ap.parse_args()
     if args.mode == "fidelity":
-        fidelity(args.seed, args.steps, args.pretrain_steps)
+        fidelity(args.seed, args.steps, args.pretrain_steps, args.budget)
     else:
         timing(args.active_batch)
